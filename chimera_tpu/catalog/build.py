@@ -1,0 +1,120 @@
+"""Offline pixelated-catalog precompute: galaxies -> per-(event, pixel)
+redshift priors p_cat(z).
+
+Capability parity with CHIMERA/catalog/catalog.py:51-231 (init +
+``precompute_p_cat`` + the ``_sum_gaussians_*`` kernels), rebuilt on the
+pure-JAX HEALPix.  Run-once host-side precompute (regime 1); the hot-path
+consumer is chimera_tpu.catalog.pixelated.PixelatedCatalog.
+
+p_cat is computed at the *fiducial* cosmology (same approximation as the
+reference, catalog.py:219): per galaxy, a Gaussian N(z; z_gal, z_err) times
+dV_C/dz (or an arbitrary p_bkg), normalized on the event's z-grid, then
+weight-averaged over the galaxies in each (event, pixel) voxel.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from chimera_tpu.catalog.pixelated import PixelatedCatalog
+from chimera_tpu.config import logger
+from chimera_tpu.data.structs import ThetaPEDet
+from chimera_tpu.models import cosmology as cosmo_fns
+from chimera_tpu.ops import healpix as hpx
+
+
+def _sum_gaussians(z_grid: np.ndarray, mu: np.ndarray, sigma: np.ndarray,
+                   weights: np.ndarray, bkg_grid: np.ndarray) -> np.ndarray:
+    """Weighted, per-galaxy-normalized sum of Gaussians x background prior on
+    the grid (catalog.py:209-231)."""
+    if mu.size == 0:
+        return np.zeros_like(z_grid)
+    g = (np.power(2 * np.pi * sigma[None, :] ** 2, -0.5)
+         * np.exp(-0.5 * ((z_grid[:, None] - mu[None, :]) / sigma[None, :]) ** 2))
+    g = g * bkg_grid[:, None]
+    norm = np.trapezoid(g, z_grid, axis=0)
+    norm = np.where(norm > 0, norm, 1.0)
+    return (g / norm) @ weights / weights.sum()
+
+
+def build_pixelated_catalog(
+    galaxies: dict,
+    theta_gw: ThetaPEDet,
+    z_grids,
+    cosmo,
+    completeness,
+    z_err: float = 0.01,
+    weights: np.ndarray | None = None,
+    sumgauss: str = "dVdz",
+    nest: bool = False,
+) -> PixelatedCatalog:
+    """Precompute the pixelated catalog prior for a pixelized GW catalog.
+
+    Args:
+      galaxies: {'ra', 'dec', 'z'} in radians (chimera_tpu.data.io loader).
+      theta_gw: pixelized PE catalog (chimera_tpu.data.pixelize).
+      z_grids: (Nev, Nz) analysis grids.
+      cosmo: fiducial cosmology for the dV_C/dz factor inside p_cat.
+      completeness: completeness model providing P_compl / fR / p_bkg.
+      z_err: per-galaxy redshift sigma as a fraction of (1 + z)
+             (catalog.py:115).
+      sumgauss: 'dVdz' or 'pbkg' — which prior multiplies the Gaussians.
+    """
+    ra = np.asarray(galaxies["ra"])
+    dec = np.asarray(galaxies["dec"])
+    z = np.asarray(galaxies["z"])
+    w = np.ones_like(z) if weights is None else np.asarray(weights)
+    sig = z_err * (1.0 + z)
+
+    z_grids_np = np.asarray(z_grids)
+    nev, nz = z_grids_np.shape
+    pix_sets = np.asarray(theta_gw.pixels_opt_nsides)
+    pixel_mask = np.asarray(theta_gw.pixel_mask)
+    opt_nsides = np.asarray(theta_gw.opt_nsides)
+    max_npix = pix_sets.shape[1]
+
+    # Galaxy pixel tables for every distinct event nside (catalog.py:129-134).
+    gal_pix: dict[int, np.ndarray] = {}
+    for ns in np.unique(opt_nsides):
+        logger.info(f"indexing {z.size} galaxies at nside={ns}")
+        gal_pix[int(ns)] = np.asarray(
+            hpx.find_pix_ra_dec(jnp.asarray(ra), jnp.asarray(dec), int(ns),
+                                nest=nest))
+
+    p_cat = np.zeros((nev, max_npix, nz))
+    n_gal = np.zeros(nev, dtype=np.int64)
+
+    if sumgauss not in ("dVdz", "pbkg"):
+        raise ValueError("sumgauss must be 'dVdz' or 'pbkg'")
+
+    for e in range(nev):
+        ns = int(opt_nsides[e])
+        zg = z_grids_np[e]
+        good = pix_sets[e][pixel_mask[e]].astype(np.int64)
+        in_vox = np.isin(gal_pix[ns], good) & (z > zg[0]) & (z < zg[-1])
+        idx = np.nonzero(in_vox)[0]
+        gp = gal_pix[ns][idx]
+        # Prior factor on the grid (reference catalog.py:219, 229).
+        if sumgauss == "dVdz":
+            bkg_grid = np.asarray(cosmo_fns.differential_comoving_volume(
+                cosmo, jnp.asarray(zg)))
+        else:
+            bkg_grid = np.asarray(completeness.p_bkg(cosmo, jnp.asarray(zg)))
+        for j, p in enumerate(good):
+            sel = gp == p
+            if sel.sum() == 0:
+                continue
+            p_cat[e, j] = _sum_gaussians(zg, z[idx][sel], sig[idx][sel],
+                                         w[idx][sel], bkg_grid)
+        n_gal[e] = int(in_vox.sum())
+        p_cat[e][~np.isfinite(p_cat[e])] = 0.0
+
+    P_compl = np.asarray(completeness.P_compl(jnp.asarray(z_grids_np)))[:, None, :]
+    return PixelatedCatalog(
+        p_cat=jnp.asarray(p_cat),
+        P_compl=jnp.asarray(P_compl),
+        pixel_mask=jnp.asarray(pixel_mask),
+        n_gal=jnp.asarray(n_gal),
+        completeness=completeness,
+    )

@@ -1,0 +1,5 @@
+"""Data structs, loaders, mock generators, and the pixelization pipeline."""
+
+from chimera_tpu.data.structs import PAD_VALUE, ThetaInjDet, ThetaPEDet, ThetaSrc
+
+__all__ = ["PAD_VALUE", "ThetaInjDet", "ThetaPEDet", "ThetaSrc"]

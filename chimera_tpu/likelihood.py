@@ -1,0 +1,335 @@
+"""The hierarchical hyper-likelihood — the jitted hot loop of the framework.
+
+Capability parity with CHIMERA/likelihood.py:48-338, redesigned TPU-first:
+
+* the likelihood is a *pytree* (config in the treedef, data as leaves) and
+  the evaluators are pure module-level functions — jit caching is explicit,
+  there is no ``static self`` hashing;
+* per-event N_eff gates are ``where`` masks, not ``lax.cond`` (batched and
+  vmap/shard_map-safe; under vmap the reference's cond executes both branches
+  anyway);
+* the pixel loop of the 'marginalized' variant (reference lax.fori_loop,
+  likelihood.py:178-203) is a batched masked KDE over a dense
+  (events x pixels) axis — static shapes, VPU-parallel;
+* the 'full' 3-D variant runs entirely on device as a batched whitened
+  Gaussian KDE (replacing the io_callback -> host numba escape,
+  likelihood.py:211-260);
+* batched evaluation over a hyper-lambda batch (MCMC walkers) is a
+  first-class API (``log_hyperlikelihood_batch``), which the reference buried
+  in its MPI layer (parallel.py:273).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import ClassVar
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from chimera_tpu import pytree
+from chimera_tpu.data.structs import ThetaPEDet
+from chimera_tpu.models import cosmology as cosmo_fns
+from chimera_tpu.models.population import (
+    Population,
+    p_cbc,
+    theta_src_and_weights,
+)
+from chimera_tpu.ops.binning import binning1d
+from chimera_tpu.ops.interp import interp_batch
+from chimera_tpu.ops.kde import gaussian_kde_nd, kde1d
+from chimera_tpu.ops.integrate import trapz
+from chimera_tpu.selection import SelectionFunction
+
+KINDS = ("1d", "approximate", "marginalized", "full")
+
+
+@pytree.dataclass
+class HyperLikelihood:
+    """Configuration + data of one hyper-likelihood model.
+
+    Mirrors the constructor surface of CHIMERA/likelihood.py:48-76.
+    """
+
+    theta_gw: ThetaPEDet = None
+    z_grids: Array = None            # (Nev, Nz)
+    population: Population = None
+    selection: SelectionFunction | None = None
+    event_mask: Array | None = None  # (Nev,) bool; False = padding event
+    kind: str = pytree.static_field(default="1d")
+    kernel: str = pytree.static_field(default="epan")
+    bw_method: object = pytree.static_field(default=None)
+    cut_grid: float | None = pytree.static_field(default=2.0)
+    binning: bool = pytree.static_field(default=True)
+    num_bins: int = pytree.static_field(default=200)
+    pe_neff: float = pytree.static_field(default=2.0)
+
+    name: ClassVar[str] = "hyperlikelihood"
+
+    @classmethod
+    def create(cls, theta_gw, z_grids, population, selection=None, kind=None,
+               kernel="epan", bw_method=None, cut_grid=2.0, binning=True,
+               num_bins=200, pe_neff=2.0) -> "HyperLikelihood":
+        theta_gw = theta_gw.with_derived()
+        if theta_gw.pixelated:
+            # '1d' may be requested explicitly to ignore pixelation (e.g. a
+            # spectral-siren analysis of a pixelized catalog).
+            if kind not in ("1d", "approximate", "marginalized", "full"):
+                raise ValueError(
+                    "pixelated data requires kind in "
+                    "('1d', 'approximate', 'marginalized', 'full')")
+        else:
+            kind = "1d"
+        if kind == "full" and kernel != "gauss":
+            kernel = "gauss"  # only Gaussian kernels in 3-D (likelihood.py:93-94)
+        return cls(theta_gw=theta_gw, z_grids=jnp.asarray(z_grids),
+                   population=population, selection=selection, kind=kind,
+                   kernel=kernel, bw_method=bw_method, cut_grid=cut_grid,
+                   binning=binning, num_bins=num_bins, pe_neff=pe_neff)
+
+    # convenience wrappers -----------------------------------------------
+
+    @property
+    def n_events(self) -> int:
+        return self.z_grids.shape[0]
+
+    @property
+    def n_events_real(self) -> Array:
+        """Number of non-padding events (== n_events unless padded for
+        sharding — see chimera_tpu.parallel.pad_events)."""
+        if self.event_mask is None:
+            return self.n_events
+        return jnp.sum(self.event_mask)
+
+    @property
+    def z_int_res(self) -> int:
+        return self.z_grids.shape[1]
+
+    def log_like(self, **hyper) -> Array:
+        return _jit_log_hyperlikelihood(self, dict(hyper))
+
+    def log_like_batch(self, hyper_batch: dict) -> Array:
+        return _jit_log_hyperlikelihood_batch(self, dict(hyper_batch))
+
+    def compute_all(self, **hyper):
+        return _jit_compute_all(self, dict(hyper))
+
+
+# ---------------------------------------------------------------------------
+# Per-event weighted-KDE machinery
+# ---------------------------------------------------------------------------
+
+def _weights_and_gates(hl: HyperLikelihood, pop: Population):
+    """Source-frame samples, importance weights, KDE norms and N_eff gates."""
+    th_src, weights = theta_src_and_weights(pop, hl.theta_gw)
+    norms = jnp.mean(weights, axis=-1)
+    sum_w = jnp.sum(weights, axis=-1)
+    sum_w2 = jnp.sum(weights * weights, axis=-1)
+    n_effs = sum_w * sum_w / sum_w2
+    gate = n_effs >= hl.pe_neff  # NaN n_eff compares False -> gated out
+    return th_src, weights, norms, gate
+
+
+def _effective_grids(hl: HyperLikelihood, z_src: Array) -> Array:
+    """Per-event KDE evaluation grids: [min - c*sigma, max + c*sigma] at half
+    resolution (likelihood.py:115-121), or the analysis grids if cut_grid is
+    disabled.  Static shapes either way."""
+    if hl.cut_grid is None:
+        return hl.z_grids
+    lo = jnp.min(z_src, axis=-1)
+    hi = jnp.max(z_src, axis=-1)
+    sig = jnp.std(z_src, axis=-1)
+    lb = jnp.where(lo - hl.cut_grid * sig > 0.0, lo - hl.cut_grid * sig, 1e-8)
+    ub = hi + hl.cut_grid * sig
+    return jnp.linspace(lb, ub, hl.z_int_res // 2, axis=1)
+
+
+def _event_kde_on_grid(hl: HyperLikelihood, z: Array, w: Array,
+                       eff_grid: Array, z_grid: Array) -> Array:
+    """One event's (optionally binned) weighted KDE, interpolated onto the
+    analysis grid with zero extrapolation.  Unnormalized by `norms` — the
+    caller applies them."""
+    if hl.binning:
+        z, w = binning1d(z, w, hl.num_bins)
+    dens = kde1d(z, eff_grid, weights=w, kernel=hl.kernel, bw_method=hl.bw_method)
+    return jnp.interp(z_grid, eff_grid, dens, left=0.0, right=0.0)
+
+
+def p_gw_1d(hl: HyperLikelihood, pop: Population) -> Array:
+    """p_gw(z | lambda) per event on the analysis grids — (Nev, Nz).
+
+    Reference: likelihood.py:105-144."""
+    th_src, weights, norms, gate = _weights_and_gates(hl, pop)
+    eff_grids = _effective_grids(hl, th_src.z)
+    dens = jax.vmap(
+        lambda z, w, eg, zg: _event_kde_on_grid(hl, z, w, eg, zg)
+    )(th_src.z, weights, eff_grids, hl.z_grids)
+    p = dens * norms[:, None]
+    return jnp.where(gate[:, None], jnp.nan_to_num(p), 0.0)
+
+
+def p_gw_3d_approximate(hl: HyperLikelihood, pop: Population) -> Array:
+    """p_gw1d x 2-D localization pdf — (Nev, P, Nz) (likelihood.py:150-154)."""
+    p1 = p_gw_1d(hl, pop)
+    loc = jnp.where(hl.theta_gw.pixel_mask, hl.theta_gw.gw_loc2d_pdf, 0.0)
+    return p1[:, None, :] * loc[:, :, None]
+
+
+def p_gw_3d_marginalized(hl: HyperLikelihood, pop: Population) -> Array:
+    """Per-pixel 1-D KDEs — (Nev, P, Nz).
+
+    The reference's serial lax.fori_loop over pixels (likelihood.py:178-203)
+    becomes a dense vmap over the padded pixel axis: samples are masked into
+    each pixel (z -> min(z) filler with zero weight, exactly the reference's
+    masking), and fake pixels are zeroed through the pixel mask."""
+    th_src, weights, norms, gate = _weights_and_gates(hl, pop)
+    eff_grids = _effective_grids(hl, th_src.z)
+
+    def one_event(z, w, pe_pix, pixels, pix_mask, gw_pdf, eff_grid, z_grid):
+        def one_pixel(pix, pdf_i, valid):
+            in_pix = pe_pix == pix
+            z_m = jnp.where(in_pix, z, jnp.min(z))
+            w_m = jnp.where(in_pix, w, 0.0)
+            dens = _event_kde_on_grid(hl, z_m, w_m, eff_grid, z_grid)
+            return jnp.where(valid, dens * pdf_i, 0.0)
+
+        return jax.vmap(one_pixel)(pixels, gw_pdf, pix_mask)
+
+    p = jax.vmap(one_event)(
+        th_src.z, weights,
+        hl.theta_gw.pixels_pe_opt_nside, hl.theta_gw.pixels_opt_nsides,
+        hl.theta_gw.pixel_mask, hl.theta_gw.gw_loc2d_pdf,
+        eff_grids, hl.z_grids,
+    )
+    p = p * norms[:, None, None]
+    return jnp.where(gate[:, None, None], jnp.nan_to_num(p), 0.0)
+
+
+def p_gw_3d_full(hl: HyperLikelihood, pop: Population) -> Array:
+    """Full 3-D (z, RA, Dec) weighted Gaussian KDE — (Nev, P, Nz).
+
+    Replaces the reference's host escape (io_callback -> numba,
+    likelihood.py:211-260) with an on-device batched whitened-Gaussian KDE
+    evaluated on the dense (pixel x z-grid) lattice; out-of-support z points
+    (beyond cut_grid sigmas) and fake pixels are masked to zero.  The 3x3
+    covariance/Cholesky per event is negligible; the (P*Nz, S) kernel sum is
+    a fused reduction with an MXU cross-term."""
+    th_src, weights, norms, gate = _weights_and_gates(hl, pop)
+    tgw = hl.theta_gw
+    nev, npix = tgw.pixel_mask.shape
+    nz = hl.z_int_res
+
+    # z support mask (likelihood.py:222-225)
+    z_std = jnp.std(th_src.z, axis=1, keepdims=True)
+    z_hi = jnp.max(th_src.z, axis=1, keepdims=True)
+    z_lo = jnp.min(th_src.z, axis=1, keepdims=True)
+    z_mask = (hl.z_grids <= z_hi + hl.cut_grid * z_std) & (
+        hl.z_grids >= z_lo - hl.cut_grid * z_std)
+
+    def one_event(z, ra, dec, w, zg, ra_pix, dec_pix):
+        dataset = jnp.stack([z, ra, dec])          # (3, S)
+        pts = jnp.stack([
+            jnp.tile(zg, npix),                     # (P*Nz,)
+            jnp.repeat(ra_pix, nz),
+            jnp.repeat(dec_pix, nz),
+        ])                                          # (3, P*Nz)
+        dens = gaussian_kde_nd(dataset, pts, weights=w, bw_method=hl.bw_method)
+        return dens.reshape(npix, nz)
+
+    p = jax.vmap(one_event)(
+        th_src.z, tgw.ra, tgw.dec, weights, hl.z_grids,
+        # fake pixel centers would poison the whitened distances only through
+        # masked-out outputs; clamp the padded values to 0 for finite math
+        jnp.where(tgw.pixel_mask, tgw.ra_pix, 0.0),
+        jnp.where(tgw.pixel_mask, tgw.dec_pix, 0.0),
+    )
+    p = p * norms[:, None, None]
+    p = p * z_mask[:, None, :] * tgw.pixel_mask[:, :, None]
+    return jnp.where(gate[:, None, None], jnp.nan_to_num(p), 0.0)
+
+
+_P_GW_3D = {
+    "approximate": p_gw_3d_approximate,
+    "marginalized": p_gw_3d_marginalized,
+    "full": p_gw_3d_full,
+}
+
+
+# ---------------------------------------------------------------------------
+# Numerator and full hyper-likelihood
+# ---------------------------------------------------------------------------
+
+def _jacobian(pop: Population, z_grids: Array) -> Array:
+    """|d(dGW)/dz| (1+z)^2 — detector->source measure (likelihood.py:272,289)."""
+    return cosmo_fns.ddl_dz_at_z(pop.cosmo, z_grids) * (1.0 + z_grids) ** 2
+
+
+def numerator_per_event(hl: HyperLikelihood, pop: Population) -> Array:
+    """Per-event numerator integrals (Nev,) — likelihood.py:266-292."""
+    p_z = p_cbc(pop, hl.z_grids)
+    jac = _jacobian(pop, hl.z_grids)
+    if hl.kind == "1d":
+        p_gw = p_gw_1d(hl, pop)
+        return trapz(p_gw * p_z / jac, hl.z_grids, axis=-1)
+    p_gw3d = _P_GW_3D[hl.kind](hl, pop)
+    integrand = p_gw3d * p_z / jac[:, None, :]
+    like_pix = trapz(integrand, hl.z_grids[:, None, :], axis=-1)  # (Nev, P)
+    return jnp.sum(like_pix, axis=-1)
+
+
+def log_per_event(hl: HyperLikelihood, pop: Population) -> Array:
+    """Per-event log contributions with nan -> -inf scrubbing and padding
+    events masked to exactly zero (so a psum over shards is exact)."""
+    log_evs = jnp.log(numerator_per_event(hl, pop))
+    log_evs = jnp.nan_to_num(log_evs, nan=-jnp.inf)
+    if hl.event_mask is not None:
+        log_evs = jnp.where(hl.event_mask, log_evs, 0.0)
+    return log_evs
+
+
+def log_numerator(hl: HyperLikelihood, pop: Population) -> Array:
+    """Summed log numerator (likelihood.py:294-301)."""
+    log_num = jnp.sum(log_per_event(hl, pop), axis=-1)
+    if not pop.scale_free:
+        log_num += hl.n_events_real * jnp.log(pop.R0 * pop.Tobs)
+    return log_num
+
+
+def log_hyperlikelihood(hl: HyperLikelihood, hyper: dict) -> Array:
+    """One hyper-lambda evaluation (likelihood.py:307-316)."""
+    pop = hl.population.update(**hyper)
+    log_num = log_numerator(hl, pop)
+    n_exp = hl.selection.n_exp(pop)
+    if pop.scale_free:
+        return log_num - hl.n_events_real * jnp.log(n_exp)
+    return log_num - n_exp
+
+
+def log_hyperlikelihood_batch(hl: HyperLikelihood, hyper_batch: dict) -> Array:
+    """vmap over a batch of hyper-lambda samples (dict of equal-length arrays).
+
+    This is the first-class walker-parallel entry point (the analog of the
+    reference's MPI 'params' scheme, parallel.py:258-278, without the host
+    broadcast)."""
+    return jax.vmap(lambda lam: log_hyperlikelihood(hl, lam))(hyper_batch)
+
+
+def compute_all(hl: HyperLikelihood, hyper: dict):
+    """Debug decomposition (likelihood.py:326-338): per-event logs, log
+    numerator, log N_exp, log hyper-likelihood."""
+    pop = hl.population.update(**hyper)
+    log_evs = log_per_event(hl, pop)
+    log_num = jnp.sum(log_evs, axis=-1)
+    n_exp = hl.selection.n_exp(pop)
+    if not pop.scale_free:
+        log_num += hl.n_events_real * jnp.log(pop.R0 * pop.Tobs)
+        log_hyper = log_num - n_exp
+    else:
+        log_hyper = log_num - hl.n_events_real * jnp.log(n_exp)
+    return log_evs, log_num, jnp.log(n_exp), log_hyper
+
+
+_jit_log_hyperlikelihood = jax.jit(log_hyperlikelihood)
+_jit_log_hyperlikelihood_batch = jax.jit(log_hyperlikelihood_batch)
+_jit_compute_all = jax.jit(compute_all)

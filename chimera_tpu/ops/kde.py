@@ -1,0 +1,175 @@
+"""Weighted kernel density estimation — the hot kernel of the hyper-likelihood.
+
+Reference semantics: CHIMERA/utils/math.py:52-148 (``kde1d``, ``jax_gkde_nd``)
+and math.py:154-229 (host-side numba N-D KDE, replaced here by a pure-XLA
+batched formulation that never leaves the device; a fused Pallas kernel sits
+behind the same API in chimera_tpu.ops.pallas).
+
+Bandwidth conventions are kept bit-compatible with the reference:
+* weights are normalized to sum 1;
+* n_eff = 1 / sum(w^2) (Kish effective sample size);
+* 'scott':    bw_factor = n_eff ** (-1/(d+4))
+* 'silverman':bw_factor = (n_eff * (d+2)/4) ** (-1/(d+4))
+* scalar:     bw_factor = the scalar itself
+and for the 1-D KDE the bandwidth is ``bw_factor * std(dataset)`` with the
+*unweighted* std (reference quirk, math.py:67-73 — preserved for parity).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+__all__ = [
+    "kde1d",
+    "kde1d_batch",
+    "gaussian_kde_nd",
+    "gaussian_kde_nd_batch",
+    "bw_factor",
+]
+
+_SQRT_2PI = 2.5066282746310002
+
+
+def epanechnikov_kernel(u: Array) -> Array:
+    return jnp.where(jnp.abs(u) <= 1.0, 0.75 * (1.0 - u * u), 0.0)
+
+
+def gaussian_kernel(u: Array) -> Array:
+    return jnp.exp(-0.5 * u * u) / _SQRT_2PI
+
+
+_KERNELS = {"epan": epanechnikov_kernel, "gauss": gaussian_kernel}
+
+
+def bw_factor(neff: Array, d: int, bw_method) -> Array:
+    """Scott/Silverman/scalar bandwidth prefactor for dimension ``d``."""
+    if bw_method is None or bw_method == "scott":
+        return jnp.power(neff, -1.0 / (d + 4))
+    if bw_method == "silverman":
+        return jnp.power(neff * (d + 2) / 4.0, -1.0 / (d + 4))
+    if isinstance(bw_method, str):
+        raise ValueError("bw_method must be 'scott', 'silverman', or a scalar")
+    return jnp.asarray(bw_method)
+
+
+def kde1d(
+    dataset: Array,
+    grid: Array,
+    weights: Array | None = None,
+    kernel: str = "epan",
+    bw_method=None,
+) -> Array:
+    """Weighted 1-D KDE of ``dataset`` evaluated on ``grid``.
+
+    Matches CHIMERA/utils/math.py:52-81 numerically.  Shapes: dataset (S,),
+    grid (G,) -> density (G,).  The (G, S) kernel evaluation is expressed so
+    XLA fuses it into the reduction (no (G, S) buffer in HBM).
+    """
+    if weights is None:
+        weights = jnp.full(dataset.shape, 1.0 / dataset.size, dtype=dataset.dtype)
+    else:
+        weights = weights / jnp.sum(weights)
+    neff = 1.0 / jnp.sum(jnp.square(weights))
+    h = bw_factor(neff, 1, bw_method) * jnp.std(dataset)
+    kfn = _KERNELS[kernel]
+    u = (grid[:, None] - dataset[None, :]) / h
+    return jnp.sum(weights[None, :] * kfn(u), axis=-1) / h
+
+
+def kde1d_batch(
+    dataset: Array,
+    grid: Array,
+    weights: Array | None = None,
+    kernel: str = "epan",
+    bw_method=None,
+) -> Array:
+    """:func:`kde1d` vectorized over leading batch axes (events, pixels)."""
+    fn = partial(kde1d, kernel=kernel, bw_method=bw_method)
+    for _ in range(dataset.ndim - 1):
+        fn = jax.vmap(fn)
+    return fn(dataset, grid, weights)
+
+
+def _weighted_cov(dataset: Array, weights: Array) -> Array:
+    """Weighted covariance with the reference's small-sample correction
+    (CHIMERA/utils/math.py:125-128): divide by ``1 - sum(w^2)``."""
+    mean = jnp.sum(weights[None, :] * dataset, axis=1)
+    resid = dataset - mean[:, None]
+    cov = (resid * weights[None, :]) @ resid.T
+    return cov / (1.0 - jnp.sum(jnp.square(weights)))
+
+
+def gaussian_kde_nd(
+    dataset: Array,
+    points: Array,
+    weights: Array | None = None,
+    bw_method=None,
+    in_log: bool = False,
+) -> Array:
+    """Weighted d-dimensional Gaussian KDE, fully on-device.
+
+    Replaces both the reference's JAX path (math.py:95-148) and the host-side
+    numba escape (math.py:154-229 entered via io_callback at
+    likelihood.py:256-260): the whitening transform is computed with a dense
+    Cholesky (d is 2 or 3 — trivially small) and the (P, S) kernel sum is a
+    fused XLA reduction.  No host round-trip.
+
+    Args:
+      dataset: (d, S) samples.
+      points:  (d, P) evaluation points.
+      weights: (S,) sample weights (normalized internally).
+      in_log: return log-density via a numerically stable logsumexp.
+
+    Returns:
+      (P,) density (or log-density) values.
+    """
+    d, s = dataset.shape
+    if weights is None:
+        weights = jnp.full((s,), 1.0 / s, dtype=dataset.dtype)
+    else:
+        weights = weights / jnp.sum(weights)
+    neff = 1.0 / jnp.sum(jnp.square(weights))
+    factor = bw_factor(neff, d, bw_method)
+
+    cov = _weighted_cov(dataset, weights)
+    inv_cov = jnp.linalg.inv(cov) / (factor * factor)
+    whitening = jnp.linalg.cholesky(inv_cov)  # lower-triangular L, inv_cov = L L^T
+    pts_w = points.T @ whitening  # (P, d)
+    data_w = dataset.T @ whitening  # (S, d)
+    log_norm = jnp.sum(jnp.log(jnp.diag(whitening))) - 0.5 * d * jnp.log(2 * jnp.pi)
+
+    # chi2[p, s] = ||data_w[s] - pts_w[p]||^2, expanded so the cross term is a
+    # (P, d) x (d, S) matmul (MXU) and the squared norms are cheap VPU work.
+    p_sq = jnp.sum(pts_w * pts_w, axis=1)
+    s_sq = jnp.sum(data_w * data_w, axis=1)
+    cross = pts_w @ data_w.T
+    chi2 = p_sq[:, None] + s_sq[None, :] - 2.0 * cross
+
+    if in_log:
+        logw = jnp.log(weights)
+        return jax.scipy.special.logsumexp(
+            log_norm - 0.5 * chi2 + logw[None, :], axis=-1
+        )
+    return jnp.exp(log_norm) * jnp.sum(
+        jnp.exp(-0.5 * chi2) * weights[None, :], axis=-1
+    )
+
+
+def gaussian_kde_nd_batch(
+    dataset: Array,
+    points: Array,
+    weights: Array | None = None,
+    bw_method=None,
+    in_log: bool = False,
+) -> Array:
+    """:func:`gaussian_kde_nd` vmapped over a leading event axis.
+
+    dataset (E, d, S), points (E, d, P), weights (E, S) -> (E, P).
+    """
+    return jax.vmap(
+        lambda ds, pt, w: gaussian_kde_nd(ds, pt, w, bw_method, in_log)
+    )(dataset, points, weights)

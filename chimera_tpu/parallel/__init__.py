@@ -1,0 +1,21 @@
+"""Mesh distribution: sharded likelihood evaluation over TPU slices."""
+
+from chimera_tpu.parallel.mesh import (
+    DATA_AXIS,
+    PARAMS_AXIS,
+    log_like_batch_sharded,
+    make_mesh,
+    pad_events,
+    pad_injections,
+    shard_hyperlikelihood,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "PARAMS_AXIS",
+    "log_like_batch_sharded",
+    "make_mesh",
+    "pad_events",
+    "pad_injections",
+    "shard_hyperlikelihood",
+]

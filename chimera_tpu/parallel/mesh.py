@@ -1,0 +1,156 @@
+"""Distribution layer: mesh construction, data sharding, batched evaluation.
+
+Replaces the reference's host-driven MPI layer (CHIMERA/parallel.py — bcast /
+allreduce / comm.Split, stale and unimportable upstream per SURVEY.md 2.4)
+with *in-program* sharding: data leaves are placed with NamedShardings over a
+``jax.sharding.Mesh`` and XLA's GSPMD partitioner inserts the collectives
+(psum over the event and injection reductions rides ICI).  The host broadcast
+and barrier disappear — hyper-lambda is replicated by construction and the
+jitted program is the synchronization.
+
+The reference's three MPI schemes (parallel.py:55-229) map onto mesh axes:
+
+* 'params' (replicate data, split the lambda batch)  -> shard the walker
+  batch over the PARAMS axis (`log_like_batch_sharded`);
+* 'data' (shard events + injections, allreduce)      -> shard event/injection
+  leaves over the DATA axis (`shard_hyperlikelihood`);
+* 'both' (2-level comm split)                        -> use both axes of one
+  2-D mesh; no communicator gymnastics required.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from chimera_tpu import pytree
+from chimera_tpu.data.structs import ThetaInjDet, ThetaPEDet
+from chimera_tpu.likelihood import HyperLikelihood, log_hyperlikelihood
+from chimera_tpu.selection import SelectionFunction
+
+DATA_AXIS = "data"
+PARAMS_AXIS = "params"
+
+
+def make_mesh(params: int = 1, data: int | None = None, devices=None) -> Mesh:
+    """Build a (params x data) 2-D device mesh.
+
+    ``data=None`` uses all remaining devices.  With a single device this
+    degenerates gracefully to a 1x1 mesh (annotations become no-ops), so the
+    same code path runs on one chip and on a pod slice.
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if data is None:
+        if n % params:
+            raise ValueError(f"{n} devices not divisible by params={params}")
+        data = n // params
+    if params * data != n:
+        raise ValueError(f"mesh {params}x{data} != {n} devices")
+    return Mesh(devices.reshape(params, data), (PARAMS_AXIS, DATA_AXIS))
+
+
+# ---------------------------------------------------------------------------
+# Padding to shardable sizes
+# ---------------------------------------------------------------------------
+
+def _pad_axis0(x, n_target: int, fill):
+    pad = n_target - x.shape[0]
+    if pad == 0:
+        return x
+    widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, widths, constant_values=fill)
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def pad_events(hl: HyperLikelihood, multiple: int) -> HyperLikelihood:
+    """Pad the event axis to a multiple of the mesh data-axis size.
+
+    Padding events carry valid-looking arrays (copies of event 0's shapes
+    with benign values) but are excluded from every reduction through
+    ``event_mask`` — adding them never changes the likelihood (the padding
+    invariance is tested explicitly)."""
+    nev = hl.n_events
+    n_target = _round_up(nev, multiple)
+    if n_target == nev and hl.event_mask is not None:
+        return hl
+    mask = jnp.arange(n_target) < nev
+
+    def pad_leaf(x):
+        if x is None or not hasattr(x, "ndim") or x.ndim == 0:
+            return x
+        if x.shape[0] != nev:
+            return x
+        return _pad_axis0(x, n_target, 1.0)
+
+    theta = jax.tree_util.tree_map(pad_leaf, hl.theta_gw)
+    z_grids = jax.vmap(lambda i: hl.z_grids[jnp.minimum(i, nev - 1)])(
+        jnp.arange(n_target))
+    # reuse real z-grids for padding rows (monotone grids keep trapz sane)
+    return pytree.replace(hl, theta_gw=theta, z_grids=z_grids, event_mask=mask)
+
+
+def pad_injections(sel: SelectionFunction, multiple: int) -> SelectionFunction:
+    """Pad the injection axis; padding injections have masses far below any
+    mass model's support (m = 0.01) so their population rate is exactly zero
+    and xi / N_eff are unchanged."""
+    n = sel.theta_inj.n_detected
+    n_target = _round_up(n, multiple)
+    if n_target == n:
+        return sel
+    ti = sel.theta_inj
+    theta = ThetaInjDet(
+        m1det=_pad_axis0(ti.m1det, n_target, 0.01),
+        m2det=_pad_axis0(ti.m2det, n_target, 0.01),
+        dL=_pad_axis0(ti.dL, n_target, 1.0),
+        p_draw=_pad_axis0(ti.p_draw, n_target, 1.0),
+    )
+    return pytree.replace(sel, theta_inj=theta)
+
+
+# ---------------------------------------------------------------------------
+# Sharding placement
+# ---------------------------------------------------------------------------
+
+def shard_hyperlikelihood(hl: HyperLikelihood, mesh: Mesh) -> HyperLikelihood:
+    """Place event- and injection-indexed leaves sharded over the DATA axis;
+    everything else replicated.  Pads both axes as needed first."""
+    n_data = mesh.shape[DATA_AXIS]
+    hl = pad_events(hl, n_data)
+    hl = pytree.replace(hl, selection=pad_injections(hl.selection, n_data))
+
+    nev = hl.n_events
+    ninj = hl.selection.theta_inj.n_detected
+    sharded = NamedSharding(mesh, P(DATA_AXIS))
+    replicated = NamedSharding(mesh, P())
+
+    def place(x):
+        if x is None or not hasattr(x, "ndim"):
+            return x
+        if x.ndim >= 1 and x.shape[0] in (nev, ninj):
+            return jax.device_put(x, sharded)
+        return jax.device_put(x, replicated)
+
+    return jax.tree_util.tree_map(place, hl)
+
+
+def log_like_batch_sharded(hl: HyperLikelihood, hyper_batch: dict,
+                           mesh: Mesh) -> jax.Array:
+    """Evaluate a hyper-lambda batch with the batch sharded over PARAMS and
+    the data over DATA (the reference's 'both' scheme as one jit).
+
+    The batch size must be a multiple of the params-axis size."""
+    batch_sharding = NamedSharding(mesh, P(PARAMS_AXIS))
+    hyper_batch = {k: jax.device_put(jnp.asarray(v), batch_sharding)
+                   for k, v in hyper_batch.items()}
+
+    @jax.jit
+    def run(hl, batch):
+        return jax.vmap(lambda lam: log_hyperlikelihood(hl, lam))(batch)
+
+    return run(hl, hyper_batch)

@@ -1,0 +1,140 @@
+"""Dark-siren (pixelated galaxy catalog) hyper-likelihood tests — the
+equivalent of reference examples/test1dgalaxies.ipynb on generated mocks,
+covering all three p_gw3d variants and the padding/mask invariants.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chimera_tpu import HyperLikelihood, SelectionFunction, pytree
+from chimera_tpu.catalog import DVdzCompleteness
+from chimera_tpu.catalog.build import build_pixelated_catalog
+from chimera_tpu.data.mock import (
+    make_mock_catalog,
+    make_mock_galaxies,
+    make_mock_injections,
+)
+from chimera_tpu.data.pixelize import pixelize_gw_catalog
+from chimera_tpu.models import compute_z_grids
+
+
+@pytest.fixture(scope="module")
+def dark_siren_setup(fiducial_population):
+    pop = fiducial_population
+    key = jax.random.PRNGKey(123)
+    k_cat, k_gal, k_inj = jax.random.split(key, 3)
+    theta, truths = make_mock_catalog(
+        k_cat, pop, n_events=10, n_samples=256, snr_threshold=14.0,
+        sigma_sky_rad=0.03, oversample=400, return_truths=True)
+    theta = pixelize_gw_catalog(theta, nside_list=[8, 16, 32],
+                                mean_npixels_event=8, sky_conf=0.9)
+    z_grids = compute_z_grids(pop.cosmo, theta,
+                              cosmo_prior={"H0": [40.0, 120.0]}, z_int_res=150)
+    galaxies = make_mock_galaxies(k_gal, pop, truths, n_background=20_000)
+    compl = DVdzCompleteness.create(z_range=(0.0, 3.0), kind="step")
+    gal_cat = build_pixelated_catalog(
+        galaxies, theta, z_grids, pop.cosmo, compl, z_err=0.01)
+    pop_pix = pytree.replace(pop, gal_cat=gal_cat)
+    theta_inj, n_inj = make_mock_injections(k_inj, pop, n_generated=60_000,
+                                            snr_threshold=14.0)
+    sel = SelectionFunction.create(theta_inj, n_inj)
+    return theta, z_grids, pop_pix, sel, truths
+
+
+def _make_hl(setup, kind, **kw):
+    theta, z_grids, pop, sel, _ = setup
+    return HyperLikelihood.create(theta, z_grids, pop, sel, kind=kind, **kw)
+
+
+@pytest.mark.parametrize("kind", ["approximate", "marginalized", "full"])
+def test_pixelated_loglike_finite(dark_siren_setup, kind):
+    hl = _make_hl(dark_siren_setup, kind)
+    val = float(hl.log_like(H0=70.0))
+    assert np.isfinite(val)
+
+
+@pytest.mark.parametrize("kind", ["approximate", "marginalized"])
+def test_pixelated_h0_scan(dark_siren_setup, kind):
+    hl = _make_hl(dark_siren_setup, kind)
+    h0s = jnp.linspace(50.0, 100.0, 11)
+    lls = np.asarray(hl.log_like_batch({"H0": h0s}))
+    assert np.isfinite(lls).all()
+    best = float(h0s[np.argmax(lls)])
+    assert 55.0 <= best <= 90.0
+
+
+def test_variants_agree_roughly(dark_siren_setup):
+    """approximate vs marginalized vs full: same data, same qualitative
+    answer — per-event numerators within a factor of a few."""
+    vals = {}
+    for kind in ("approximate", "marginalized", "full"):
+        hl = _make_hl(dark_siren_setup, kind)
+        vals[kind] = float(hl.log_like(H0=70.0))
+    a, m, f = vals["approximate"], vals["marginalized"], vals["full"]
+    n_ev = dark_siren_setup[0].n_events
+    assert abs(a - m) / n_ev < 2.0
+    assert abs(a - f) / n_ev < 2.0
+
+
+def test_padding_invariance(dark_siren_setup):
+    """Adding fake pixels (enlarging the padded axis) must not change the
+    likelihood — the mask, not the padding value, defines validity."""
+    theta, z_grids, pop, sel, _ = dark_siren_setup
+    hl = _make_hl(dark_siren_setup, "marginalized")
+    base = float(hl.log_like(H0=70.0))
+
+    def pad_pix(x, fill):
+        return jnp.pad(x, ((0, 0), (0, 3)), constant_values=fill)
+
+    theta2 = theta.update(
+        pixels_opt_nsides=pad_pix(theta.pixels_opt_nsides, -100),
+        ra_pix=pad_pix(theta.ra_pix, -100.0),
+        dec_pix=pad_pix(theta.dec_pix, -100.0),
+        gw_loc2d_pdf=pad_pix(theta.gw_loc2d_pdf, -100.0),
+        pixel_mask=pad_pix(theta.pixel_mask, False),
+    )
+    gal_cat2 = pytree.replace(
+        pop.gal_cat,
+        p_cat=jnp.pad(pop.gal_cat.p_cat, ((0, 0), (0, 3), (0, 0))),
+        pixel_mask=pad_pix(pop.gal_cat.pixel_mask, False),
+    )
+    pop2 = pytree.replace(pop, gal_cat=gal_cat2)
+    hl2 = HyperLikelihood.create(theta2, z_grids, pop2, sel, kind="marginalized")
+    padded = float(hl2.log_like(H0=70.0))
+    np.testing.assert_allclose(padded, base, rtol=1e-10)
+
+
+def test_gw_loc2d_pdf_sums_to_unit(dark_siren_setup):
+    """Localization pdf over real pixels integrates to ~1 over the sky patch
+    (pdf per steradian x pixel area)."""
+    theta = dark_siren_setup[0]
+    import chimera_tpu.ops.healpix as hpx
+
+    area = 4 * jnp.pi / jnp.asarray(
+        [hpx.nside2npix(int(n)) for n in np.asarray(theta.opt_nsides)])
+    total = jnp.sum(jnp.where(theta.pixel_mask, theta.gw_loc2d_pdf, 0.0),
+                    axis=1) * area
+    # Loose check: the KDE mass inside the ~90% confidence region.  Events
+    # straddling the RA = 0/2pi wrap lose KDE mass to the duplicate cluster
+    # (a pathology the reference shares), hence the wide lower bound.
+    assert float(jnp.min(total)) > 0.05
+    assert float(jnp.max(total)) < 2.0
+    assert float(jnp.median(total)) > 0.4
+
+
+def test_host_galaxies_sharpen_posterior(dark_siren_setup, fiducial_population):
+    """The catalog term must carry information: the pixelated likelihood's
+    H0 curvature at the peak exceeds the spectral-siren one's."""
+    theta, z_grids, pop_pix, sel, _ = dark_siren_setup
+    hl_pix = HyperLikelihood.create(theta, z_grids, pop_pix, sel,
+                                    kind="marginalized")
+    hl_spec = HyperLikelihood.create(theta, z_grids, fiducial_population, sel,
+                                     kind="1d")
+    h0s = jnp.linspace(55.0, 90.0, 8)
+    lp = np.asarray(hl_pix.log_like_batch({"H0": h0s}))
+    ls = np.asarray(hl_spec.log_like_batch({"H0": h0s}))
+    assert np.isfinite(lp).all() and np.isfinite(ls).all()
+    # normalized ranges: pixelated should vary at least as strongly
+    assert (lp.max() - lp.min()) > 0.3 * (ls.max() - ls.min())

@@ -1,0 +1,164 @@
+"""Unit tests for the numerics core against scipy/numpy oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.integrate
+import scipy.stats
+
+from chimera_tpu.ops import (
+    binning1d,
+    cumtrapz,
+    gaussian_kde_nd,
+    interp_batch,
+    kde1d,
+    masked_trapz,
+    neumaier_sum,
+    trapz,
+)
+
+
+def test_trapz_matches_numpy():
+    x = jnp.linspace(0.0, 3.0, 101)
+    y = jnp.sin(x) ** 2 + x
+    np.testing.assert_allclose(trapz(y, x), np.trapezoid(np.asarray(y), np.asarray(x)),
+                               rtol=1e-14)
+
+
+def test_trapz_per_row_grids():
+    x = jnp.stack([jnp.linspace(0, 1, 50), jnp.linspace(0, 2, 50)])
+    y = x**2
+    expect = [np.trapezoid(np.asarray(y[i]), np.asarray(x[i])) for i in range(2)]
+    np.testing.assert_allclose(trapz(y, x, axis=-1), expect, rtol=1e-14)
+
+
+def test_cumtrapz_matches_scipy():
+    x = jnp.sort(jax.random.uniform(jax.random.PRNGKey(0), (200,)))
+    y = jnp.exp(-x)
+    got = cumtrapz(y, x)
+    expect = scipy.integrate.cumulative_trapezoid(np.asarray(y), np.asarray(x),
+                                                  initial=0.0)
+    np.testing.assert_allclose(got, expect, rtol=1e-13, atol=1e-16)
+
+
+def test_masked_trapz_equals_zeroed_integrand():
+    x = jnp.linspace(0, 1, 64)
+    y = jnp.cos(x)
+    mask = x < 0.5
+    np.testing.assert_allclose(
+        masked_trapz(y, x, mask),
+        np.trapezoid(np.where(np.asarray(mask), np.asarray(y), 0.0), np.asarray(x)),
+        rtol=1e-14)
+
+
+def test_neumaier_sum_beats_naive_f32():
+    # Sum many tiny values onto a large one: naive f32 loses them entirely.
+    big = jnp.float32(1e8)
+    tiny = jnp.full((10000,), 1e-1, dtype=jnp.float32)
+    x = jnp.concatenate([jnp.array([big], dtype=jnp.float32), tiny])
+    exact = float(big) + 0.1 * 10000
+    comp = float(neumaier_sum(x))
+    assert abs(comp - exact) / exact < 1e-7
+
+
+@pytest.mark.parametrize("method", ["scatter", "onehot"])
+def test_binning1d_matches_histogram(method):
+    key = jax.random.PRNGKey(1)
+    x = jax.random.normal(key, (5000,))
+    w = jax.random.uniform(jax.random.PRNGKey(2), (5000,))
+    centers, counts = binning1d(x, w, num_bins=100, method=method)
+    edges = np.linspace(float(x.min()), float(x.max()), 101)
+    expect, _ = np.histogram(np.asarray(x), bins=edges, weights=np.asarray(w))
+    # Edge assignment differs only for samples exactly on an edge.
+    np.testing.assert_allclose(np.asarray(counts), expect, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(centers),
+                               0.5 * (edges[:-1] + edges[1:]), rtol=1e-12)
+    np.testing.assert_allclose(float(counts.sum()), float(w.sum()), rtol=1e-12)
+
+
+def test_binning_methods_agree():
+    x = jax.random.normal(jax.random.PRNGKey(3), (2000,))
+    w = jnp.ones((2000,))
+    _, c1 = binning1d(x, w, 64, method="scatter")
+    _, c2 = binning1d(x, w, 64, method="onehot")
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-10)
+
+
+def test_kde1d_gaussian_matches_scipy():
+    key = jax.random.PRNGKey(4)
+    data = jax.random.normal(key, (4000,))
+    grid = jnp.linspace(-3, 3, 101)
+    got = kde1d(data, grid, kernel="gauss", bw_method="scott")
+    ref = scipy.stats.gaussian_kde(np.asarray(data), bw_method="scott")(
+        np.asarray(grid))
+    # scipy uses (n, d+4) scaling with the sample std too; equal weights make
+    # neff == n, so the bandwidths coincide up to the ddof convention.
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=1e-4)
+
+
+def test_kde1d_epan_integrates_to_one():
+    data = jax.random.normal(jax.random.PRNGKey(5), (2000,)) * 0.5
+    grid = jnp.linspace(-4, 4, 2001)
+    dens = kde1d(data, grid, kernel="epan")
+    assert abs(float(trapz(dens, grid)) - 1.0) < 1e-3
+
+
+def test_kde1d_weighted_matches_explicit_formula():
+    """Weighted KDE against an explicit numpy transcription of the reference
+    semantics (math.py:52-81): normalized weights, Kish n_eff, Scott factor
+    times the *unweighted* std."""
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=500)
+    w = rng.uniform(0.1, 1.0, size=500)
+    grid = np.linspace(-3, 3, 64)
+    wn = w / w.sum()
+    neff = 1.0 / np.sum(wn**2)
+    h = neff ** (-0.2) * data.std()
+    u = (grid[:, None] - data[None, :]) / h
+    expect = ((wn[None, :] * np.where(np.abs(u) <= 1, 0.75 * (1 - u**2), 0.0))
+              .sum(axis=-1) / h)
+    got = kde1d(jnp.asarray(data), jnp.asarray(grid), weights=jnp.asarray(w),
+                kernel="epan", bw_method="scott")
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-12)
+
+
+@pytest.mark.parametrize("d", [2, 3])
+def test_gaussian_kde_nd_matches_scipy(d):
+    key = jax.random.PRNGKey(6)
+    data = jax.random.normal(key, (d, 500))
+    data = data.at[1].mul(2.0)
+    pts = jax.random.normal(jax.random.PRNGKey(7), (d, 40))
+    got = gaussian_kde_nd(data, pts)
+    ref = scipy.stats.gaussian_kde(np.asarray(data))(np.asarray(pts))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-6)
+
+
+def test_gaussian_kde_nd_weighted_matches_scipy():
+    key = jax.random.PRNGKey(8)
+    data = jax.random.normal(key, (3, 300))
+    w = jax.random.uniform(jax.random.PRNGKey(9), (300,)) + 0.1
+    pts = jax.random.normal(jax.random.PRNGKey(10), (3, 25))
+    got = gaussian_kde_nd(data, pts, weights=w)
+    ref = scipy.stats.gaussian_kde(np.asarray(data), weights=np.asarray(w))(
+        np.asarray(pts))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-6)
+
+
+def test_gaussian_kde_nd_log_consistency():
+    data = jax.random.normal(jax.random.PRNGKey(11), (2, 200))
+    pts = jax.random.normal(jax.random.PRNGKey(12), (2, 30))
+    lin = gaussian_kde_nd(data, pts)
+    log = gaussian_kde_nd(data, pts, in_log=True)
+    np.testing.assert_allclose(np.asarray(jnp.log(lin)), np.asarray(log),
+                               rtol=1e-10)
+
+
+def test_interp_batch():
+    xp = jnp.stack([jnp.linspace(0, 1, 11), jnp.linspace(0, 2, 11)])
+    fp = xp**2
+    x = jnp.array([[0.55], [1.1]])
+    got = interp_batch(x, xp, fp)
+    expect = [[np.interp(0.55, np.asarray(xp[0]), np.asarray(fp[0]))],
+              [np.interp(1.1, np.asarray(xp[1]), np.asarray(fp[1]))]]
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-12)
