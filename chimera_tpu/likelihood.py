@@ -37,7 +37,7 @@ from chimera_tpu.models.population import (
     theta_src_and_weights,
 )
 from chimera_tpu.ops.binning import binning1d
-from chimera_tpu.ops.interp import interp_batch
+from chimera_tpu.ops.interp import uniform_interp
 from chimera_tpu.ops.kde import gaussian_kde_nd, kde1d
 from chimera_tpu.ops.integrate import trapz
 from chimera_tpu.selection import SelectionFunction
@@ -153,7 +153,11 @@ def _event_kde_on_grid(hl: HyperLikelihood, z: Array, w: Array,
     if hl.binning:
         z, w = binning1d(z, w, hl.num_bins)
     dens = kde1d(z, eff_grid, weights=w, kernel=hl.kernel, bw_method=hl.bw_method)
-    return jnp.interp(z_grid, eff_grid, dens, left=0.0, right=0.0)
+    if hl.cut_grid is None:
+        return dens  # eff_grid IS the analysis grid — no resampling
+    # Effective grids are linspace by construction: uniform interp avoids a
+    # per-element binary search (gathers are the TPU bottleneck).
+    return uniform_interp(z_grid, eff_grid[0], eff_grid[-1], dens)
 
 
 def p_gw_1d(hl: HyperLikelihood, pop: Population) -> Array:

@@ -23,9 +23,11 @@ import jax.numpy as jnp
 from jax import Array
 
 from chimera_tpu import pytree
+from chimera_tpu.ops.chebyshev import chebeval, chebfit_from_table
 from chimera_tpu.ops.integrate import cumtrapz
 
 C_LIGHT_KM_S = 299792.458  # km/s
+_Z_LO = 1e-6  # lower edge of the log-log Chebyshev fits; queries below clamp
 
 
 def _resolve(kwargs: dict, defaults: dict) -> dict:
@@ -54,29 +56,59 @@ class FLRW:
     wa: Array = 0.0
     z_grid: Array | None = None
     int_invE: Array | None = None
+    # Chebyshev series in log-log space (uniform *relative* accuracy down to
+    # z ~ 1e-6): log int(1/E) vs log z, and log z vs log dGW.
+    cheb_dc: Array | None = None
+    cheb_zinv: Array | None = None
+    dgw_lo: Array | None = None
+    dgw_max: Array | None = None
     z_max: float = pytree.static_field(default=10.0)
     z_grid_res: int = pytree.static_field(default=1500)
+    # 'chebyshev': gather-free hot-path evaluation (TPU-fast, ~1e-10 vs the
+    # dense table); 'table': linear interpolation into the dense grid (the
+    # reference's semantics, cosmo.py:132, 260-264).
+    interp_method: str = pytree.static_field(default="chebyshev")
+    cheb_deg: int = pytree.static_field(default=64)
 
     name: ClassVar[str] = "flrw"
     hyper_keys: ClassVar[tuple[str, ...]] = ("H0", "Om0", "Ok0", "Or0", "w0", "wa")
-    config_keys: ClassVar[tuple[str, ...]] = ("z_max", "z_grid_res")
+    config_keys: ClassVar[tuple[str, ...]] = (
+        "z_max", "z_grid_res", "interp_method", "cheb_deg")
 
     # -- construction -------------------------------------------------------
 
     @classmethod
     def create(cls, **kwargs) -> "FLRW":
-        """Build the model and its distance table (traceable under jit)."""
+        """Build the model and its distance representations (traceable under
+        jit — rebuilt per hyper-sample inside the compiled graph)."""
         defaults = {k: getattr(cls, k) for k in cls.hyper_keys + cls.config_keys}
         params = _resolve(kwargs, defaults)
         obj = cls(**{k: params[k] for k in cls.hyper_keys},
-                  z_max=params["z_max"], z_grid_res=params["z_grid_res"])
+                  **{k: params[k] for k in cls.config_keys})
         # Table grid matches the reference (cosmo.py:44): [0] + logspace.
         zg = jnp.concatenate(
             [jnp.zeros((1,)),
              jnp.logspace(-10.0, jnp.log10(obj.z_max), obj.z_grid_res - 1)]
         )
         table = cumtrapz(1.0 / e_at_z(obj, zg), zg)
-        return pytree.replace(obj, z_grid=zg, int_invE=table)
+        obj = pytree.replace(obj, z_grid=zg, int_invE=table)
+        if obj.interp_method == "chebyshev":
+            # Project the smooth distance functions onto Chebyshev series in
+            # log-log space so the hot path never gathers AND keeps uniform
+            # relative accuracy near z -> 0 (see ops/chebyshev.py rationale).
+            log_zlo, log_zhi = jnp.log(_Z_LO), jnp.log(obj.z_max)
+            cheb_dc = chebfit_from_table(
+                jnp.log(zg[1:]), jnp.log(table[1:]), log_zlo, log_zhi,
+                obj.cheb_deg)
+            dgw_table = _dl_from_table(obj, zg)
+            dgw_max = dgw_table[-1]
+            dgw_lo = jnp.interp(jnp.asarray(_Z_LO), zg, dgw_table)
+            cheb_zinv = chebfit_from_table(
+                jnp.log(dgw_table[1:]), jnp.log(zg[1:]),
+                jnp.log(dgw_lo), jnp.log(dgw_max), obj.cheb_deg)
+            obj = pytree.replace(obj, cheb_dc=cheb_dc, cheb_zinv=cheb_zinv,
+                                 dgw_lo=dgw_lo, dgw_max=dgw_max)
+        return obj
 
     @property
     def as_dict(self) -> dict:
@@ -149,8 +181,33 @@ def e_at_z(cosmo: FLRW, z: Array) -> Array:
     )
 
 
+def _curvature_transverse(cosmo: FLRW, dcr: Array) -> Array:
+    """Apply the curvature map d_C -> d_M as branch-free selects."""
+    sqrt_ok = jnp.sqrt(jnp.abs(cosmo.Ok0 + 1e-10))
+    dh = cosmo.dH
+    x = sqrt_ok * dcr / dh
+    return jnp.where(
+        cosmo.Ok0 == 0.0,
+        dcr,
+        jnp.where(cosmo.Ok0 > 0.0,
+                  (dh / sqrt_ok) * jnp.sinh(x),
+                  (dh / sqrt_ok) * jnp.sin(x)),
+    )
+
+
+def _dl_from_table(cosmo: FLRW, zg: Array) -> Array:
+    """GW distance on the table grid itself (no lookup needed)."""
+    dct = _curvature_transverse(cosmo, cosmo.dH * cosmo.int_invE)
+    return dct * (1.0 + zg) * cosmo.gw_distance_factor(zg)
+
+
 def int_inv_e_at_z(cosmo: FLRW, z: Array) -> Array:
-    """Table lookup of the cumulative integral of 1/E (cosmo.py:132)."""
+    """Cumulative integral of 1/E: Chebyshev evaluation (gather-free hot
+    path) or table lookup (reference semantics, cosmo.py:132)."""
+    if cosmo.interp_method == "chebyshev":
+        log_z = jnp.log(jnp.maximum(z, _Z_LO))
+        return jnp.exp(chebeval(cosmo.cheb_dc, log_z,
+                                jnp.log(_Z_LO), jnp.log(cosmo.z_max)))
     return jnp.interp(z, cosmo.z_grid, cosmo.int_invE)
 
 
@@ -162,17 +219,7 @@ def comoving_distance(cosmo: FLRW, z: Array) -> Array:
 def transverse_comoving_distance(cosmo: FLRW, z: Array) -> Array:
     """Transverse comoving distance d_M(z) with curvature branches as selects
     (cosmo.py:141-153)."""
-    dcr = comoving_distance(cosmo, z)
-    sqrt_ok = jnp.sqrt(jnp.abs(cosmo.Ok0 + 1e-10))
-    dh = cosmo.dH
-    x = sqrt_ok * dcr / dh
-    return jnp.where(
-        cosmo.Ok0 == 0.0,
-        dcr,
-        jnp.where(cosmo.Ok0 > 0.0,
-                  (dh / sqrt_ok) * jnp.sinh(x),
-                  (dh / sqrt_ok) * jnp.sin(x)),
-    )
+    return _curvature_transverse(cosmo, comoving_distance(cosmo, z))
 
 
 def _dgw_to_dct(cosmo: FLRW, distances: Array, z: Array) -> Array:
@@ -240,7 +287,14 @@ def ddl_dz_at_z(cosmo: FLRW, z: Array, distances: Array | None = None) -> Array:
 
 
 def z_from_dgw(cosmo: FLRW, dgw: Array) -> Array:
-    """Invert the GW distance-redshift relation via the precomputed table
-    (cosmo.py:260-264).  Clamps outside [0, dL(z_max)] like ``jnp.interp``."""
-    dgw_table = dl_at_z(cosmo, cosmo.z_grid)
+    """Invert the GW distance-redshift relation (cosmo.py:260-264).
+
+    Chebyshev mode evaluates a per-cosmology series of the inverse map —
+    zero gathers over the (events x samples) axes.  Both modes clamp
+    outside [0, d_GW(z_max)] like ``jnp.interp``."""
+    if cosmo.interp_method == "chebyshev":
+        log_d = jnp.log(jnp.maximum(dgw, cosmo.dgw_lo))
+        return jnp.exp(chebeval(cosmo.cheb_zinv, log_d,
+                                jnp.log(cosmo.dgw_lo), jnp.log(cosmo.dgw_max)))
+    dgw_table = _dl_from_table(cosmo, cosmo.z_grid)
     return jnp.interp(dgw, dgw_table, cosmo.z_grid)

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from jax import Array
 
 from chimera_tpu import pytree
+from chimera_tpu.ops.chebyshev import chebeval, chebfit_from_table
 from chimera_tpu.ops.integrate import cumtrapz, trapz
 
 # ---------------------------------------------------------------------------
@@ -49,13 +50,19 @@ def tpl_cdf(alpha: Array, m_low: Array, m: Array) -> Array:
 
 
 def smoothing(m: Array, delta_m: Array, m_low: Array) -> Array:
-    """LVK low-mass turn-on window (mass.py:255-264)."""
+    """LVK low-mass turn-on window (mass.py:255-264).
+
+    The boundary m == m_low + delta_m takes the continuous limit S = 1
+    (the reference's eps-regularized formula evaluates to 0 at exactly that
+    point — a measure-zero artifact its examples never hit, but our window
+    quadrature nodes land on it).
+    """
     eps = 1e-99
     log_s = jnp.where(
         m < m_low,
         -jnp.inf,
         jnp.where(
-            m > (m_low + delta_m),
+            m >= (m_low + delta_m),
             0.0,
             -jnp.logaddexp(
                 0.0,
@@ -92,11 +99,21 @@ class BaseMassModel:
     m_grid: Array | None = None
     cdf_m2_conditioned: Array | None = None
     norm_p_m1: Array | None = None
+    # analytic-CDF engine state (gather-free hot path; see conditional_cdf_at)
+    m_join: Array | None = None
+    cdf_at_join: Array | None = None
+    cheb_cdf_window: Array | None = None
     grid_res: int = pytree.static_field(default=1000)
+    # 'analytic': piecewise closed-form + Chebyshev window segment — zero
+    # per-sample gathers (TPU-fast).  'table': linear interp into the CDF
+    # table (the reference's semantics, mass.py:334-345).
+    cdf_engine: str = pytree.static_field(default="analytic")
+    window_deg: int = pytree.static_field(default=48)
 
     name: ClassVar[str] = "base_mass"
     hyper_keys: ClassVar[tuple[str, ...]] = ("m_low", "m_high")
-    config_keys: ClassVar[tuple[str, ...]] = ("grid_res",)
+    config_keys: ClassVar[tuple[str, ...]] = ("grid_res", "cdf_engine",
+                                              "window_deg")
 
     @classmethod
     def create(cls, **kwargs):
@@ -110,14 +127,50 @@ class BaseMassModel:
         return obj._with_tables()
 
     def _with_tables(self):
-        """Tabulate the m2|m1 CDF and the p(m1) normalization (mass.py:45-52)."""
+        """Tabulate the m2|m1 CDF and the p(m1) normalization (mass.py:45-52),
+        plus the analytic-engine pieces (window-segment Chebyshev fit)."""
         mg = jnp.logspace(
             jnp.log10(self.m_low), jnp.log10(self.m_high), self.grid_res
         )
         obj = pytree.replace(self, m_grid=mg)
         cdf = cumtrapz(obj.secondary_conditioned_pdf_unnorm(mg, obj.m_high), mg)
         norm = trapz(obj.primary_pdf_unnorm(mg), mg)
-        return pytree.replace(obj, cdf_m2_conditioned=cdf, norm_p_m1=norm)
+        obj = pytree.replace(obj, cdf_m2_conditioned=cdf, norm_p_m1=norm)
+        if obj.cdf_engine == "analytic":
+            obj = obj._with_analytic_cdf()
+        return obj
+
+    def _with_analytic_cdf(self):
+        """Fit the non-analytic CDF segment: below m_join = m_low + delta_m
+        the conditional is window-suppressed (no closed form); above it the
+        window is identically 1 and the CDF continues as the exact truncated
+        power law.  The window segment is smooth (the LVK window has an
+        essential zero at m_low), so a short Chebyshev series is exact to
+        f64 round-off."""
+        delta = getattr(self, "delta_m", 0.0)
+        m_join = jnp.clip(self.m_low + jnp.maximum(delta, 1e-6), None,
+                          self.m_high)
+        # Dedicated fine quadrature on the window segment (the log-spaced
+        # model grid under-resolves it).  8k nodes keep the trapz error below
+        # ~3e-7 even for wide windows (delta_m ~ 15); the cumtrapz is a
+        # one-off per hyper-sample and costs nothing next to the likelihood.
+        fine = jnp.linspace(self.m_low, m_join, 8192)
+        pdf_fine = self.secondary_conditioned_pdf_unnorm(fine, self.m_high)
+        cdf_fine = cumtrapz(pdf_fine, fine)
+        cheb = chebfit_from_table(fine, cdf_fine, self.m_low, m_join,
+                                  self.window_deg)
+        return pytree.replace(self, m_join=m_join, cdf_at_join=cdf_fine[-1],
+                              cheb_cdf_window=cheb)
+
+    def conditional_cdf_at(self, m1: Array) -> Array:
+        """CDF of the m2|m1 conditional evaluated at m1 — the normalization
+        of p(m2|m1) (mass.py:339).  Clamps like the reference's interp."""
+        if self.cdf_engine == "table":
+            return jnp.interp(m1, self.m_grid, self.cdf_m2_conditioned)
+        m1c = jnp.clip(m1, self.m_low, self.m_high)
+        below = chebeval(self.cheb_cdf_window, m1c, self.m_low, self.m_join)
+        above = self.cdf_at_join + tpl_cdf(self.beta, self.m_join, m1c)
+        return jnp.where(m1c <= self.m_join, below, above)
 
     @property
     def as_dict(self) -> dict:
@@ -164,6 +217,15 @@ class TruncatedPowerLaw(BaseMassModel):
     def secondary_conditioned_pdf_unnorm(self, m2: Array, m1: Array) -> Array:
         # No smoothing window in the reference tpl model (mass.py:320-322).
         return tpl_unnorm(m2, self.beta, self.m_low, m1)
+
+    def _with_analytic_cdf(self):
+        return self  # fully closed-form; nothing to fit
+
+    def conditional_cdf_at(self, m1: Array) -> Array:
+        if self.cdf_engine == "table":
+            return jnp.interp(m1, self.m_grid, self.cdf_m2_conditioned)
+        return tpl_cdf(self.beta, self.m_low,
+                       jnp.clip(m1, self.m_low, self.m_high))
 
 
 @pytree.dataclass
@@ -304,8 +366,11 @@ def p_m1m2(mass: BaseMassModel, m1: Array, m2: Array) -> Array:
     """Normalized joint pdf p(m1) p(m2 | m1) with 0/0 -> 0 guard."""
     p1 = mass.primary_pdf_unnorm(m1) / mass.norm_p_m1
     p21 = mass.secondary_conditioned_pdf_unnorm(m2, m1)
-    p21 = p21 / jnp.interp(m1, mass.m_grid, mass.cdf_m2_conditioned)
-    # 0/0 and x/0 at the exact m1 = m_low edge (zero-width conditional) -> 0.
+    p21 = p21 / mass.conditional_cdf_at(m1)
+    # Degenerate conditional at m1 -> m_low (zero-width support): the density
+    # spikes as 1/(m1 - m_low); define it as 0 like the reference's table
+    # clamp does (mass.py:339-340), and scrub inf/0-division artifacts.
+    p21 = jnp.where(m1 > mass.m_low * (1.0 + 1e-9), p21, 0.0)
     p21 = jnp.where(jnp.isfinite(p21), p21, 0.0)
     return p1 * p21
 

@@ -8,7 +8,14 @@ from chimera_tpu.ops.integrate import (
     sum_and_sumsq,
     trapz,
 )
-from chimera_tpu.ops.interp import interp, interp_batch
+from chimera_tpu.ops.chebyshev import (
+    cheb_nodes,
+    chebeval,
+    chebfit_from_fn,
+    chebfit_from_table,
+    chebfit_from_values,
+)
+from chimera_tpu.ops.interp import interp, interp_batch, uniform_interp
 from chimera_tpu.ops.kde import (
     gaussian_kde_nd,
     gaussian_kde_nd_batch,
@@ -26,6 +33,12 @@ __all__ = [
     "trapz",
     "interp",
     "interp_batch",
+    "uniform_interp",
+    "cheb_nodes",
+    "chebeval",
+    "chebfit_from_fn",
+    "chebfit_from_table",
+    "chebfit_from_values",
     "gaussian_kde_nd",
     "gaussian_kde_nd_batch",
     "kde1d",

@@ -1,0 +1,86 @@
+"""Chebyshev interpolants: gather-free function evaluation for the hot path.
+
+TPU rationale: the VPU has no per-lane gather — every ``jnp.interp`` /
+table-lookup over the (events x samples) axes serializes (~30 ms per 4M
+lookups measured on v5e, vs ~4 ms for a degree-64 Clenshaw evaluation of the
+same smooth function as pure arithmetic).  The reference's cosmology tables
+(CHIMERA/population/cosmo.py:43-46, 132, 260-264) and mass-CDF lookups
+(mass.py:334-345) therefore become Chebyshev series here: the fit is rebuilt
+per hyper-sample inside the jitted graph (a ~64-point matmul — negligible),
+and per-sample evaluation is a fixed-depth recurrence with zero memory
+traffic.
+
+Accuracy: the target functions (comoving-distance integral, distance-redshift
+inversion, windowed mass-CDF segment) are analytic on their domains, so the
+series converge geometrically; degree 64 reaches ~1e-10 relative for the
+cosmology functions (validated in tests against the dense-table oracle).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+
+def cheb_nodes(n: int, a, b) -> Array:
+    """Chebyshev-Gauss nodes mapped to [a, b] (ascending)."""
+    k = jnp.arange(n)
+    x = jnp.cos(jnp.pi * (k + 0.5) / n)  # descending in (-1, 1)
+    return 0.5 * (a + b) + 0.5 * (b - a) * x[::-1]
+
+
+def chebfit_from_values(vals: Array) -> Array:
+    """Chebyshev coefficients from function values at ``cheb_nodes(n, a, b)``.
+
+    DCT-II-style projection expressed as a small (n x n) matmul so it traces
+    cleanly into the jitted update graph.
+    """
+    n = vals.shape[-1]
+    k = jnp.arange(n)
+    j = jnp.arange(n)
+    # nodes were reversed to ascending; undo for the standard projection.
+    basis = jnp.cos(jnp.pi * j[:, None] * (k[None, :] + 0.5) / n)
+    coeffs = (2.0 / n) * basis @ vals[..., ::-1]
+    return coeffs.at[..., 0].mul(0.5)
+
+
+def chebfit_from_table(x_table: Array, y_table: Array, a, b, n: int) -> Array:
+    """Fit a series by sampling a (dense, monotone-x) table at the nodes.
+
+    The table is only touched at n points (a trivially small gather), after
+    which evaluation is gather-free everywhere.
+    """
+    nodes = cheb_nodes(n, a, b)
+    vals = jnp.interp(nodes, x_table, y_table)
+    return chebfit_from_values(vals)
+
+
+def chebfit_from_fn(fn, a, b, n: int) -> Array:
+    return chebfit_from_values(fn(cheb_nodes(n, a, b)))
+
+
+def chebeval(coeffs: Array, x: Array, a, b, clip: bool = True) -> Array:
+    """Evaluate the series at ``x`` via Clenshaw recurrence (pure VPU math).
+
+    ``clip=True`` clamps x into [a, b] — matching ``jnp.interp``'s edge
+    behavior (the reference relies on this clamping for out-of-range
+    distances, cosmo.py:260-264).
+    """
+    if clip:
+        x = jnp.clip(x, a, b)
+    t = (2.0 * x - (a + b)) / (b - a)
+    t2 = 2.0 * t
+    n = coeffs.shape[0]
+
+    def body(i, carry):
+        b1, b2 = carry
+        c = coeffs[n - 1 - i]
+        return (t2 * b1 - b2 + c, b1)
+
+    b1 = jnp.zeros_like(t)
+    b2 = jnp.zeros_like(t)
+    b1, b2 = jax.lax.fori_loop(0, n - 1, body, (b1, b2))
+    return t * b1 - b2 + coeffs[0]

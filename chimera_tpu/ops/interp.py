@@ -23,3 +23,22 @@ def interp_batch(x: Array, xp: Array, fp: Array, left=None, right=None) -> Array
     return jax.vmap(lambda xi, xpi, fpi: jnp.interp(xi, xpi, fpi, left=left, right=right))(
         x, xp, fp
     )
+
+
+def uniform_interp(x: Array, lo: Array, hi: Array, fp: Array,
+                   left: float = 0.0, right: float = 0.0) -> Array:
+    """Linear interp on a *uniform* node grid: index arithmetic instead of
+    searchsorted (no binary search — one fused gather pair).
+
+    Used for the KDE effective grids, which are linspace by construction
+    (likelihood.py:115-121): x (N,), fp (M,) on nodes linspace(lo, hi, M).
+    Out-of-range values get ``left``/``right`` like the reference's
+    jnp.interp(..., left=0, right=0).
+    """
+    m = fp.shape[-1]
+    t = (x - lo) / (hi - lo) * (m - 1)
+    i = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, m - 2)
+    frac = t - i
+    val = fp[i] * (1.0 - frac) + fp[i + 1] * frac
+    val = jnp.where(x < lo, left, val)
+    return jnp.where(x > hi, right, val)
