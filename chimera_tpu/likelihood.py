@@ -38,7 +38,7 @@ from chimera_tpu.models.population import (
 )
 from chimera_tpu.ops.binning import binning1d
 from chimera_tpu.ops.interp import uniform_interp
-from chimera_tpu.ops.kde import gaussian_kde_nd, kde1d
+from chimera_tpu.ops.kde import gaussian_kde_nd, kde1d_core, kde1d_params
 from chimera_tpu.ops.integrate import trapz
 from chimera_tpu.selection import SelectionFunction
 
@@ -64,13 +64,15 @@ class HyperLikelihood:
     binning: bool = pytree.static_field(default=True)
     num_bins: int = pytree.static_field(default=200)
     pe_neff: float = pytree.static_field(default=2.0)
+    # 'auto': Pallas kernel on TPU backends, fused XLA elsewhere.
+    kde_engine: str = pytree.static_field(default="auto")
 
     name: ClassVar[str] = "hyperlikelihood"
 
     @classmethod
     def create(cls, theta_gw, z_grids, population, selection=None, kind=None,
                kernel="epan", bw_method=None, cut_grid=2.0, binning=True,
-               num_bins=200, pe_neff=2.0) -> "HyperLikelihood":
+               num_bins=200, pe_neff=2.0, kde_engine="auto") -> "HyperLikelihood":
         theta_gw = theta_gw.with_derived()
         if theta_gw.pixelated:
             # '1d' may be requested explicitly to ignore pixelation (e.g. a
@@ -86,7 +88,8 @@ class HyperLikelihood:
         return cls(theta_gw=theta_gw, z_grids=jnp.asarray(z_grids),
                    population=population, selection=selection, kind=kind,
                    kernel=kernel, bw_method=bw_method, cut_grid=cut_grid,
-                   binning=binning, num_bins=num_bins, pe_neff=pe_neff)
+                   binning=binning, num_bins=num_bins, pe_neff=pe_neff,
+                   kde_engine=kde_engine)
 
     # convenience wrappers -----------------------------------------------
 
@@ -145,19 +148,38 @@ def _effective_grids(hl: HyperLikelihood, z_src: Array) -> Array:
     return jnp.linspace(lb, ub, hl.z_int_res // 2, axis=1)
 
 
-def _event_kde_on_grid(hl: HyperLikelihood, z: Array, w: Array,
-                       eff_grid: Array, z_grid: Array) -> Array:
-    """One event's (optionally binned) weighted KDE, interpolated onto the
-    analysis grid with zero extrapolation.  Unnormalized by `norms` — the
-    caller applies them."""
+def _resolved_kde_engine(hl: HyperLikelihood) -> str:
+    if hl.kde_engine != "auto":
+        return hl.kde_engine
+    return "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+
+
+def _batched_kde_to_grid(hl: HyperLikelihood, zs: Array, ws: Array,
+                         eff_grids: Array, z_grids: Array) -> Array:
+    """(B, S) samples/weights -> (B, Nz) densities on the analysis grids.
+
+    Shared by the spectral and per-pixel paths; dispatches the core
+    contraction to the Pallas kernel or fused XLA.  Binning, bandwidths, and
+    the reference's conventions all live here."""
     if hl.binning:
-        z, w = binning1d(z, w, hl.num_bins)
-    dens = kde1d(z, eff_grid, weights=w, kernel=hl.kernel, bw_method=hl.bw_method)
+        zs, ws = jax.vmap(lambda z, w: binning1d(z, w, hl.num_bins))(zs, ws)
+    wn, h = kde1d_params(zs, ws, hl.bw_method)
+    engine = _resolved_kde_engine(hl)
+    if engine == "pallas":
+        from chimera_tpu.ops.pallas.kde import kde1d_grid
+
+        dens = kde1d_grid(zs, wn, eff_grids, h, kernel=hl.kernel,
+                          interpret=jax.default_backend() == "cpu")
+    else:
+        dens = jax.vmap(
+            lambda z, g, w, bw: kde1d_core(z, g, w, bw, hl.kernel)
+        )(zs, eff_grids, wn, h)
     if hl.cut_grid is None:
-        return dens  # eff_grid IS the analysis grid — no resampling
+        return dens  # eff grids ARE the analysis grids — no resampling
     # Effective grids are linspace by construction: uniform interp avoids a
     # per-element binary search (gathers are the TPU bottleneck).
-    return uniform_interp(z_grid, eff_grid[0], eff_grid[-1], dens)
+    return jax.vmap(lambda zg, eg, d: uniform_interp(zg, eg[0], eg[-1], d))(
+        z_grids, eff_grids, dens)
 
 
 def p_gw_1d(hl: HyperLikelihood, pop: Population) -> Array:
@@ -166,9 +188,7 @@ def p_gw_1d(hl: HyperLikelihood, pop: Population) -> Array:
     Reference: likelihood.py:105-144."""
     th_src, weights, norms, gate = _weights_and_gates(hl, pop)
     eff_grids = _effective_grids(hl, th_src.z)
-    dens = jax.vmap(
-        lambda z, w, eg, zg: _event_kde_on_grid(hl, z, w, eg, zg)
-    )(th_src.z, weights, eff_grids, hl.z_grids)
+    dens = _batched_kde_to_grid(hl, th_src.z, weights, eff_grids, hl.z_grids)
     p = dens * norms[:, None]
     return jnp.where(gate[:, None], jnp.nan_to_num(p), 0.0)
 
@@ -189,23 +209,25 @@ def p_gw_3d_marginalized(hl: HyperLikelihood, pop: Population) -> Array:
     masking), and fake pixels are zeroed through the pixel mask."""
     th_src, weights, norms, gate = _weights_and_gates(hl, pop)
     eff_grids = _effective_grids(hl, th_src.z)
+    tgw = hl.theta_gw
+    nev, npix = tgw.pixel_mask.shape
+    nz = hl.z_int_res
+    ns = th_src.z.shape[1]
 
-    def one_event(z, w, pe_pix, pixels, pix_mask, gw_pdf, eff_grid, z_grid):
-        def one_pixel(pix, pdf_i, valid):
-            in_pix = pe_pix == pix
-            z_m = jnp.where(in_pix, z, jnp.min(z))
-            w_m = jnp.where(in_pix, w, 0.0)
-            dens = _event_kde_on_grid(hl, z_m, w_m, eff_grid, z_grid)
-            return jnp.where(valid, dens * pdf_i, 0.0)
+    # Mask samples into pixels: (E, P, S) with the reference's fillers
+    # (z -> min(z), w -> 0; likelihood.py:180-181), then flatten the pixel
+    # axis into the batch for one dense KDE dispatch.
+    in_pix = tgw.pixels_pe_opt_nside[:, None, :] == tgw.pixels_opt_nsides[:, :, None]
+    z_fill = jnp.min(th_src.z, axis=-1)[:, None, None]
+    z_m = jnp.where(in_pix, th_src.z[:, None, :], z_fill)
+    w_m = jnp.where(in_pix, weights[:, None, :], 0.0)
 
-        return jax.vmap(one_pixel)(pixels, gw_pdf, pix_mask)
-
-    p = jax.vmap(one_event)(
-        th_src.z, weights,
-        hl.theta_gw.pixels_pe_opt_nside, hl.theta_gw.pixels_opt_nsides,
-        hl.theta_gw.pixel_mask, hl.theta_gw.gw_loc2d_pdf,
-        eff_grids, hl.z_grids,
-    )
+    flat = lambda a: a.reshape(nev * npix, -1)
+    rep = lambda a: jnp.repeat(a, npix, axis=0)
+    dens = _batched_kde_to_grid(hl, flat(z_m), flat(w_m),
+                                rep(eff_grids), rep(hl.z_grids))
+    p = dens.reshape(nev, npix, nz)
+    p = p * jnp.where(tgw.pixel_mask, tgw.gw_loc2d_pdf, 0.0)[:, :, None]
     p = p * norms[:, None, None]
     return jnp.where(gate[:, None, None], jnp.nan_to_num(p), 0.0)
 

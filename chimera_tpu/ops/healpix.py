@@ -361,3 +361,26 @@ def angular_separation(ra: Array, dec: Array, ra0: Array, dec0: Array) -> Array:
     cos_angle = (jnp.sin(dec) * jnp.sin(dec0)
                  + jnp.cos(dec) * jnp.cos(dec0) * jnp.cos(ra - ra0))
     return jnp.arccos(jnp.clip(cos_angle, -1.0, 1.0))
+
+
+def galactic_to_equatorial(l: Array, b: Array) -> tuple[Array, Array]:
+    """Galactic (l, b) -> equatorial (RA, dec), radians.  Corrected version
+    of reference utils/angles.py:93-110 (which used an undefined ``np`` and a
+    quadrant-ambiguous arctan); uses atan2 for the right quadrant."""
+    l_ncp = jnp.radians(122.93192)
+    dec_ngp = jnp.radians(27.128336)
+    ra_ngp = jnp.radians(192.859508)
+    y = jnp.cos(b) * jnp.sin(l_ncp - l)
+    x = jnp.cos(dec_ngp) * jnp.sin(b) - jnp.sin(dec_ngp) * jnp.cos(b) * jnp.cos(l_ncp - l)
+    ra = jnp.arctan2(y, x) + ra_ngp
+    dec = jnp.arcsin(jnp.sin(dec_ngp) * jnp.sin(b)
+                     + jnp.cos(dec_ngp) * jnp.cos(b) * jnp.cos(l_ncp - l))
+    return jnp.mod(ra, 2.0 * jnp.pi), dec
+
+
+def convert_pixelization(pixels: Array, nside_in: int, nside_out: int,
+                         nest_in: bool = False, nest_out: bool = False) -> Array:
+    """Re-index pixels from one (nside, scheme) to another via pixel centers
+    (corrected version of reference utils/angles.py:163-191)."""
+    theta, phi = pix2ang(nside_in, pixels, nest=nest_in)
+    return ang2pix(nside_out, theta, phi, nest=nest_out)

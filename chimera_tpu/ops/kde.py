@@ -56,6 +56,32 @@ def bw_factor(neff: Array, d: int, bw_method) -> Array:
     return jnp.asarray(bw_method)
 
 
+def kde1d_params(dataset: Array, weights: Array | None, bw_method
+                 ) -> tuple[Array, Array]:
+    """Normalized weights + bandwidth under the reference's conventions
+    (math.py:59-75): Kish n_eff of the normalized weights, Scott/Silverman
+    factor times the *unweighted* std.  Batched over leading axes."""
+    if weights is None:
+        weights = jnp.full(dataset.shape, 1.0 / dataset.shape[-1],
+                           dtype=dataset.dtype)
+    else:
+        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    neff = 1.0 / jnp.sum(jnp.square(weights), axis=-1)
+    h = bw_factor(neff, 1, bw_method) * jnp.std(dataset, axis=-1)
+    return weights, h
+
+
+def kde1d_core(dataset: Array, grid: Array, norm_weights: Array,
+               bandwidth: Array, kernel: str = "epan") -> Array:
+    """The raw contraction: dataset (S,), grid (G,), normalized weights (S,),
+    scalar bandwidth -> density (G,).  Expressed so XLA fuses the (G, S)
+    kernel evaluation into the reduction; a Pallas kernel with identical
+    semantics lives in ops.pallas.kde."""
+    kfn = _KERNELS[kernel]
+    u = (grid[:, None] - dataset[None, :]) / bandwidth
+    return jnp.sum(norm_weights[None, :] * kfn(u), axis=-1) / bandwidth
+
+
 def kde1d(
     dataset: Array,
     grid: Array,
@@ -66,18 +92,10 @@ def kde1d(
     """Weighted 1-D KDE of ``dataset`` evaluated on ``grid``.
 
     Matches CHIMERA/utils/math.py:52-81 numerically.  Shapes: dataset (S,),
-    grid (G,) -> density (G,).  The (G, S) kernel evaluation is expressed so
-    XLA fuses it into the reduction (no (G, S) buffer in HBM).
+    grid (G,) -> density (G,).
     """
-    if weights is None:
-        weights = jnp.full(dataset.shape, 1.0 / dataset.size, dtype=dataset.dtype)
-    else:
-        weights = weights / jnp.sum(weights)
-    neff = 1.0 / jnp.sum(jnp.square(weights))
-    h = bw_factor(neff, 1, bw_method) * jnp.std(dataset)
-    kfn = _KERNELS[kernel]
-    u = (grid[:, None] - dataset[None, :]) / h
-    return jnp.sum(weights[None, :] * kfn(u), axis=-1) / h
+    wn, h = kde1d_params(dataset, weights, bw_method)
+    return kde1d_core(dataset, grid, wn, h, kernel)
 
 
 def kde1d_batch(

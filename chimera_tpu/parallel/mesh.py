@@ -34,6 +34,23 @@ DATA_AXIS = "data"
 PARAMS_AXIS = "params"
 
 
+def init_distributed(**kwargs) -> None:
+    """Multi-host initialization for pod slices (the TPU-native replacement
+    for the reference's ``mpirun`` + mpi4py bring-up, parallel.py:5-6 and
+    docs/user_guide/hpc_gpu_installation.rst).  On a single host this is a
+    no-op; on multi-host deployments call it once before building meshes —
+    coordinator discovery comes from the standard TPU environment."""
+    import jax
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError):
+        # single-process environment (no coordinator configured)
+        pass
+
+
 def make_mesh(params: int = 1, data: int | None = None, devices=None) -> Mesh:
     """Build a (params x data) 2-D device mesh.
 
