@@ -1,5 +1,10 @@
-"""Inference drivers: JAX-native ensemble MCMC + chain checkpointing."""
+"""Inference drivers: ensemble MCMC, gradient-based HMC, checkpointing."""
 
+from chimera_tpu.inference.hmc import (
+    make_transformed_log_prob,
+    run_hmc,
+    sample_hyperposterior,
+)
 from chimera_tpu.inference.ensemble import (
     EnsembleState,
     init_state,
@@ -17,6 +22,9 @@ from chimera_tpu.inference.checkpoint import (
 )
 
 __all__ = [
+    "make_transformed_log_prob",
+    "run_hmc",
+    "sample_hyperposterior",
     "EnsembleState",
     "init_state",
     "initialize_walkers",

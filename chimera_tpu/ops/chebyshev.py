@@ -75,12 +75,13 @@ def chebeval(coeffs: Array, x: Array, a, b, clip: bool = True) -> Array:
     t2 = 2.0 * t
     n = coeffs.shape[0]
 
-    def body(i, carry):
-        b1, b2 = carry
-        c = coeffs[n - 1 - i]
-        return (t2 * b1 - b2 + c, b1)
-
+    # Unrolled Clenshaw: a lax.fori_loop would carry two x-shaped arrays
+    # through ~64 iterations — on TPU each iteration round-trips the carries
+    # through HBM (x is the (events x samples) hot axis, so that is GBs of
+    # traffic).  Unrolled, the whole recurrence is one fused elementwise
+    # chain that XLA keeps in registers.
     b1 = jnp.zeros_like(t)
     b2 = jnp.zeros_like(t)
-    b1, b2 = jax.lax.fori_loop(0, n - 1, body, (b1, b2))
+    for i in range(n - 1):
+        b1, b2 = t2 * b1 - b2 + coeffs[n - 1 - i], b1
     return t * b1 - b2 + coeffs[0]

@@ -384,3 +384,49 @@ def convert_pixelization(pixels: Array, nside_in: int, nside_out: int,
     (corrected version of reference utils/angles.py:163-191)."""
     theta, phi = pix2ang(nside_in, pixels, nest=nest_in)
     return ang2pix(nside_out, theta, phi, nest=nest_out)
+
+
+# ---------------------------------------------------------------------------
+# Pixel boundaries (plot-time; reference used healpy hp.boundaries,
+# utils/plotting.py:47-48)
+# ---------------------------------------------------------------------------
+
+def _xyf2loc(x: Array, y: Array, face: Array) -> tuple[Array, Array]:
+    """Fractional in-face coordinates (x, y in [0, 1]) -> (z, phi) on the
+    sphere — the inverse HEALPix projection (Gorski et al. 2005, eqs. 19-22),
+    continuous across each face (not just at pixel centers)."""
+    jr = _JRLL[face].astype(x.dtype) - x - y
+    # north cap / equatorial belt / south cap
+    nr_n = jr                    # jr < 1
+    nr_s = 4.0 - jr              # jr > 3
+    z = jnp.where(jr < 1.0, 1.0 - jr * jr / 3.0,
+                  jnp.where(jr > 3.0, nr_s * nr_s / 3.0 - 1.0,
+                            (2.0 - jr) * 2.0 / 3.0))
+    nr = jnp.where(jr < 1.0, nr_n, jnp.where(jr > 3.0, nr_s, 1.0))
+    nr = jnp.maximum(nr, 1e-12)  # pole: phi is degenerate, pick center
+    phi = (_JPLL[face].astype(x.dtype) + (x - y) / nr) * (jnp.pi / 4.0)
+    return z, jnp.mod(phi, 2.0 * jnp.pi)
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def boundaries(nside: int, pix: Array, step: int = 1,
+               nest: bool = False) -> tuple[Array, Array]:
+    """Boundary points of each pixel: (theta, phi) of shape (..., 4*step).
+
+    Points run counterclockwise from the northernmost corner (matching
+    healpy's ordering).  ``step`` subdivides each of the four edges.
+    """
+    pix = jnp.asarray(pix)
+    if not nest:
+        pix = ring2nest(nside, pix)
+    ix, iy, face = _nest2xyf(nside, pix)
+    t = jnp.arange(step) / step                       # (step,)
+    one = jnp.ones_like(t)
+    # Edges in xyf fractional coordinates, counterclockwise from the N
+    # corner (1, 1): N->W (y=1), W->S (x=0), S->E (y=0), E->N (x=1).
+    fx = jnp.concatenate([1.0 - t, 0.0 * t, t, one])
+    fy = jnp.concatenate([one, 1.0 - t, 0.0 * t, t])
+    x = (ix[..., None].astype(fx.dtype) + fx) / nside
+    y = (iy[..., None].astype(fy.dtype) + fy) / nside
+    z, phi = _xyf2loc(x, y, face[..., None])
+    return jnp.arccos(jnp.clip(z, -1.0, 1.0)), phi

@@ -1,18 +1,20 @@
 """Utilities: magnitudes, profiling, plotting (matplotlib-gated)."""
 
 from chimera_tpu.utils.mags import (
-    abs_mag_from_app,
-    app_mag_from_abs,
-    lum_from_mag,
-    mag_from_lum,
+    absolute_magnitude,
+    apparent_magnitude,
+    lum2mag,
+    mag2lum,
+    schechter_luminosity_fraction,
 )
 from chimera_tpu.utils.profiling import StageTimer, compile_time, device_trace
 
 __all__ = [
-    "abs_mag_from_app",
-    "app_mag_from_abs",
-    "lum_from_mag",
-    "mag_from_lum",
+    "mag2lum",
+    "lum2mag",
+    "absolute_magnitude",
+    "apparent_magnitude",
+    "schechter_luminosity_fraction",
     "StageTimer",
     "compile_time",
     "device_trace",
