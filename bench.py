@@ -43,8 +43,11 @@ def build(n_events=1000, n_samples=4096, n_inj=2_000_000, z_res=500):
     z_grids = compute_z_grids(cosmo, cat, cosmo_prior={"H0": [40.0, 120.0]},
                               z_int_res=z_res)
     sel = SelectionFunction.create(inj, n_gen)
-    # TPU flagship config: direct (unbinned) KDE — exact and MXU/VPU-dense.
-    return HyperLikelihood.create(cat, z_grids, pop, sel, binning=False)
+    # TPU flagship config: direct (unbinned) KDE evaluated straight on the
+    # analysis grids (cut_grid=None) — exact (no binning approximation, no
+    # effective-grid resampling) and fully fused on TPU.
+    return HyperLikelihood.create(cat, z_grids, pop, sel, binning=False,
+                                  cut_grid=None)
 
 
 def main():

@@ -148,10 +148,42 @@ def _effective_grids(hl: HyperLikelihood, z_src: Array) -> Array:
     return jnp.linspace(lb, ub, hl.z_int_res // 2, axis=1)
 
 
+def _on_tpu() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _fused_eligible(hl: HyperLikelihood) -> bool:
+    """The fully-fused Pallas path covers the flagship spectral configuration:
+    unbinned KDE on cut grids with the gather-free model engines."""
+    tgw = hl.theta_gw
+    return (
+        hl.kind == "1d"
+        and not hl.binning
+        and hl.kernel in ("epan", "gauss")
+        and (hl.bw_method is None or isinstance(hl.bw_method, (str, float)))
+        and hl.population.cosmo.interp_method == "chebyshev"
+        and hl.population.mass.cdf_engine == "analytic"
+        and tgw.m1det.shape[0] % 8 == 0
+        and tgw.m1det.shape[1] % 128 == 0
+    )
+
+
 def _resolved_kde_engine(hl: HyperLikelihood) -> str:
     if hl.kde_engine != "auto":
-        return hl.kde_engine
-    return "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+        return "pallas" if hl.kde_engine == "fused" else hl.kde_engine
+    return "pallas" if _on_tpu() else "xla"
+
+
+def _resolved_batch_engine(hl: HyperLikelihood) -> str:
+    if hl.kde_engine == "auto":
+        return "fused" if _on_tpu() and _fused_eligible(hl) else "vmap"
+    if hl.kde_engine == "fused":
+        if not _fused_eligible(hl):
+            raise ValueError("kde_engine='fused' requires kind='1d', "
+                             "binning=False, cut_grid set, chebyshev/analytic "
+                             "model engines, and E%8 == S%128 == 0")
+        return "fused"
+    return "vmap"
 
 
 def _batched_kde_to_grid(hl: HyperLikelihood, zs: Array, ws: Array,
@@ -337,8 +369,53 @@ def log_hyperlikelihood_batch(hl: HyperLikelihood, hyper_batch: dict) -> Array:
 
     This is the first-class walker-parallel entry point (the analog of the
     reference's MPI 'params' scheme, parallel.py:258-278, without the host
-    broadcast)."""
+    broadcast).  On TPU, eligible spectral configurations route through the
+    fully-fused Pallas kernel (ops.pallas.fused) — one on-chip pass over the
+    PE samples per (event-block, lambda) instead of a dozen HBM-sized
+    intermediates."""
+    if _resolved_batch_engine(hl) == "fused":
+        return _log_hyperlikelihood_batch_fused(hl, hyper_batch)
     return jax.vmap(lambda lam: log_hyperlikelihood(hl, lam))(hyper_batch)
+
+
+def _log_hyperlikelihood_batch_fused(hl: HyperLikelihood,
+                                     hyper_batch: dict) -> Array:
+    """Fused-kernel batch evaluation (numerically equivalent to the vmap
+    path up to f32 reduction order; engine-agreement tested)."""
+    from chimera_tpu.ops.pallas.fused import fused_weights_kde
+
+    pop_b = jax.vmap(lambda lam: hl.population.update(**lam))(hyper_batch)
+    tgw = hl.theta_gw
+    den, stats = fused_weights_kde(
+        tgw.m1det, tgw.m2det, tgw.dL, 1.0 / tgw.pe_prior,
+        pop_b.cosmo, pop_b.mass,
+        grids=None if hl.cut_grid is not None else hl.z_grids,
+        kernel=hl.kernel, bw_method=hl.bw_method, cut_grid=hl.cut_grid,
+        n_grid=hl.z_int_res // 2, den_scale="norms",
+        interpret=not _on_tpu())
+    gate = stats["neff"] >= hl.pe_neff
+
+    def per_lambda(pop, den_l, lo, ub, gate_l):
+        if hl.cut_grid is not None:
+            dens = jax.vmap(uniform_interp)(hl.z_grids, lo, ub, den_l)
+        else:
+            dens = den_l            # evaluated directly on the z grids
+        p_gw = jnp.where(gate_l[:, None], jnp.nan_to_num(dens), 0.0)
+        p_z = p_cbc(pop, hl.z_grids)
+        jac = _jacobian(pop, hl.z_grids)
+        num = trapz(p_gw * p_z / jac, hl.z_grids, axis=-1)
+        log_evs = jnp.nan_to_num(jnp.log(num), nan=-jnp.inf)
+        if hl.event_mask is not None:
+            log_evs = jnp.where(hl.event_mask, log_evs, 0.0)
+        log_num = jnp.sum(log_evs)
+        if not pop.scale_free:
+            log_num += hl.n_events_real * jnp.log(pop.R0 * pop.Tobs)
+        n_exp = hl.selection.n_exp(pop)
+        if pop.scale_free:
+            return log_num - hl.n_events_real * jnp.log(n_exp)
+        return log_num - n_exp
+
+    return jax.vmap(per_lambda)(pop_b, den, stats["lo"], stats["ub"], gate)
 
 
 def compute_all(hl: HyperLikelihood, hyper: dict):

@@ -35,17 +35,26 @@ from chimera_tpu.ops.integrate import cumtrapz, trapz
 # ---------------------------------------------------------------------------
 
 
+def _powx(x: Array, a: Array) -> Array:
+    """x**a for x > 0 as exp(a log x) — the lowering XLA uses for powf
+    anyway, written out because Mosaic (Pallas TPU) has no powf primitive
+    and this code runs inside the fused kernel (ops/pallas/fused.py)."""
+    return jnp.exp(a * jnp.log(x))
+
+
 def tpl_unnorm(m: Array, alpha: Array, m_low: Array, m_high: Array) -> Array:
     """Truncated power law m^alpha on [m_low, m_high] (not normalized)."""
-    return jnp.where((m_low <= m) & (m <= m_high), jnp.power(m, alpha), 0.0)
+    return jnp.where((m_low <= m) & (m <= m_high),
+                     _powx(jnp.maximum(m, 1e-30), alpha), 0.0)
 
 
 def tpl_cdf(alpha: Array, m_low: Array, m: Array) -> Array:
     """Unnormalized CDF of the truncated power law, analytic."""
+    mp = jnp.maximum(m, 1e-30)
     return jnp.where(
         alpha == -1.0,
-        jnp.log(m_low) - jnp.log(m),
-        (jnp.power(m, 1.0 + alpha) - jnp.power(m_low, 1.0 + alpha)) / (1.0 + alpha),
+        jnp.log(m_low) - jnp.log(mp),
+        (_powx(mp, 1.0 + alpha) - _powx(m_low, 1.0 + alpha)) / (1.0 + alpha),
     )
 
 
@@ -78,10 +87,20 @@ def gaussian(x: Array, mu: Array, sigma: Array) -> Array:
     return jnp.exp(log_g)
 
 
-def truncated_gaussian(x: Array, mu: Array, sigma: Array, x_min: Array, x_max: Array) -> Array:
+def truncated_gaussian_norm(mu: Array, sigma: Array, x_min: Array,
+                            x_max: Array) -> Array:
+    """Mass of N(mu, sigma) on [x_min, x_max].  Scalar in all uses (depends
+    only on hyper-parameters) — precomputed at ``update`` time so ``erf``
+    never appears in the per-sample path (Pallas TPU has no erf lowering)."""
     hi = (x_max - mu) / (sigma * jnp.sqrt(2.0))
     lo = (x_min - mu) / (sigma * jnp.sqrt(2.0))
-    norm = 0.5 * jax.scipy.special.erf(hi) - 0.5 * jax.scipy.special.erf(lo)
+    return 0.5 * jax.scipy.special.erf(hi) - 0.5 * jax.scipy.special.erf(lo)
+
+
+def truncated_gaussian(x: Array, mu: Array, sigma: Array, x_min: Array,
+                       x_max: Array, norm: Array | None = None) -> Array:
+    if norm is None:
+        norm = truncated_gaussian_norm(mu, sigma, x_min, x_max)
     return jnp.where((x_min <= x) & (x <= x_max), gaussian(x, mu, sigma) / norm, 0.0)
 
 
@@ -124,7 +143,13 @@ class BaseMassModel:
         params = dict(defaults)
         params.update(kwargs)
         obj = cls(**params)
-        return obj._with_tables()
+        return obj._with_norm_consts()._with_tables()
+
+    def _with_norm_consts(self):
+        """Hook: precompute scalar normalization constants that depend only
+        on hyper-parameters (e.g. truncated-Gaussian peak masses), so the
+        per-sample pdf path stays free of special functions."""
+        return self
 
     def _with_tables(self):
         """Tabulate the m2|m1 CDF and the p(m1) normalization (mass.py:45-52),
@@ -261,16 +286,23 @@ class PowerLawPeak(BaseMassModel):
     delta_m: Array = 4.8
     mu_g: Array = 34.0
     sigma_g: Array = 3.6
+    peak_norm: Array | None = None
 
     name: ClassVar[str] = "power_law_plus_peak"
     hyper_keys: ClassVar[tuple[str, ...]] = BaseMassModel.hyper_keys + (
         "lambda_peak", "alpha", "beta", "delta_m", "mu_g", "sigma_g")
 
+    def _with_norm_consts(self):
+        return pytree.replace(self, peak_norm=truncated_gaussian_norm(
+            self.mu_g, self.sigma_g, self.m_low,
+            self.mu_g + 5.0 * self.sigma_g))
+
     def primary_pdf_unnorm(self, m: Array) -> Array:
         pl = tpl_unnorm(m, -self.alpha, self.m_low, self.m_high) / tpl_cdf(
             -self.alpha, self.m_low, self.m_high)
         peak = truncated_gaussian(
-            m, self.mu_g, self.sigma_g, self.m_low, self.mu_g + 5.0 * self.sigma_g)
+            m, self.mu_g, self.sigma_g, self.m_low,
+            self.mu_g + 5.0 * self.sigma_g, norm=self.peak_norm)
         pdf = (1.0 - self.lambda_peak) * pl + self.lambda_peak * peak
         return pdf * smoothing(m, self.delta_m, self.m_low)
 
@@ -289,19 +321,33 @@ class PowerLawTwoPeaks(BaseMassModel):
     sigma1_g: Array = 3.6
     mu2_g: Array = 68.0
     sigma2_g: Array = 3.0
+    peak1_norm: Array | None = None
+    peak2_norm: Array | None = None
 
     name: ClassVar[str] = "power_law_plus_double_peak"
     hyper_keys: ClassVar[tuple[str, ...]] = BaseMassModel.hyper_keys + (
         "lambda_peak", "lambda1", "alpha", "beta", "delta_m",
         "mu1_g", "sigma1_g", "mu2_g", "sigma2_g")
 
+    def _with_norm_consts(self):
+        return pytree.replace(
+            self,
+            peak1_norm=truncated_gaussian_norm(
+                self.mu1_g, self.sigma1_g, self.m_low,
+                self.mu1_g + 5.0 * self.sigma1_g),
+            peak2_norm=truncated_gaussian_norm(
+                self.mu2_g, self.sigma2_g, self.m_low,
+                self.mu2_g + 5.0 * self.sigma2_g))
+
     def primary_pdf_unnorm(self, m: Array) -> Array:
         pl = tpl_unnorm(m, -self.alpha, self.m_low, self.m_high) / tpl_cdf(
             -self.alpha, self.m_low, self.m_high)
         g1 = truncated_gaussian(
-            m, self.mu1_g, self.sigma1_g, self.m_low, self.mu1_g + 5.0 * self.sigma1_g)
+            m, self.mu1_g, self.sigma1_g, self.m_low,
+            self.mu1_g + 5.0 * self.sigma1_g, norm=self.peak1_norm)
         g2 = truncated_gaussian(
-            m, self.mu2_g, self.sigma2_g, self.m_low, self.mu2_g + 5.0 * self.sigma2_g)
+            m, self.mu2_g, self.sigma2_g, self.m_low,
+            self.mu2_g + 5.0 * self.sigma2_g, norm=self.peak2_norm)
         pdf = (
             (1.0 - self.lambda_peak) * pl
             + self.lambda_peak * self.lambda1 * g1

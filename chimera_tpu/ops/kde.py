@@ -47,10 +47,12 @@ _KERNELS = {"epan": epanechnikov_kernel, "gauss": gaussian_kernel}
 
 def bw_factor(neff: Array, d: int, bw_method) -> Array:
     """Scott/Silverman/scalar bandwidth prefactor for dimension ``d``."""
+    # exp/log instead of powf: this runs inside Pallas kernels (no powf
+    # lowering on Mosaic); XLA lowers powf the same way.
     if bw_method is None or bw_method == "scott":
-        return jnp.power(neff, -1.0 / (d + 4))
+        return jnp.exp((-1.0 / (d + 4)) * jnp.log(neff))
     if bw_method == "silverman":
-        return jnp.power(neff * (d + 2) / 4.0, -1.0 / (d + 4))
+        return jnp.exp((-1.0 / (d + 4)) * jnp.log(neff * (d + 2) / 4.0))
     if isinstance(bw_method, str):
         raise ValueError("bw_method must be 'scott', 'silverman', or a scalar")
     return jnp.asarray(bw_method)

@@ -1,0 +1,242 @@
+"""Fused Pallas TPU kernel: detector->source map + population weights + KDE.
+
+The spectral-siren hot loop (SURVEY.md 3.1) is, per hyper-lambda and event:
+
+    z_s   = z_from_dgw(cosmo, dL_s)                 (Chebyshev inversion)
+    w_s   = p_m1m2(mass, m1det_s/(1+z_s), m2det_s/(1+z_s)) / pe_prior_s
+    dens  = KDE_{z_s, w_s}(eff_grid)                (eff_grid from z stats)
+
+Expressed stage-by-stage in XLA this materializes a dozen
+(lambda x events x samples) intermediates in HBM — measured ~14 ms per
+lambda at the 1000-event x 4096-sample flagship scale, entirely
+bandwidth-bound.  This kernel streams the PE samples through VMEM once per
+(event-block, lambda) program and performs *all* of it on-chip; HBM sees
+only the PE data (reused across lambda) and the (lambda, events, grid)
+densities.
+
+Exact-parity design: the cosmology and mass-model pytrees are flattened
+outside, their leaves passed as kernel operands, and the pytrees
+*reassembled inside the kernel* with `tree_unflatten` — the weights math is
+then literally `models.population.theta_src_and_weights`'s code path
+(z_from_dgw + p_m1m2), not a reimplementation.  Requires the gather-free
+engines (cosmo.interp_method='chebyshev', mass.cdf_engine='analytic'),
+which are the defaults.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.tree_util import tree_flatten, tree_unflatten
+
+from chimera_tpu.models import cosmology as cosmo_fns
+from chimera_tpu.models.mass import p_m1m2
+from chimera_tpu.ops.kde import bw_factor
+
+_BLOCK_E = 8       # events per program
+_BLOCK_S = 512     # sample chunk for the KDE contraction
+_SQRT_2PI = 2.5066282746310002
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _pack_leaves(tree):
+    """Flatten a pytree with (L, ...) leaves to [(L, 1, size) f32 arrays],
+    returning (packed, treedef, shapes) for in-kernel reassembly."""
+    leaves, treedef = tree_flatten(tree)
+    packed, shapes = [], []
+    for leaf in leaves:
+        arr = jnp.asarray(leaf)
+        shapes.append(arr.shape[1:])           # per-lambda shape
+        packed.append(arr.reshape(arr.shape[0], 1, -1))
+    return packed, treedef, shapes
+
+
+def _unpack_leaves(refs, treedef, shapes):
+    leaves = []
+    for ref, shape in zip(refs, shapes):
+        val = ref[0, 0, :]
+        leaves.append(val.reshape(shape) if shape else val[0])
+    return tree_unflatten(treedef, leaves)
+
+
+def _fused_kernel(*refs, cos_def, cos_shapes, mass_def, mass_shapes,
+                  n_cos, n_mass, kernel, bw_method, cut_grid, n_grid,
+                  n_samples, block_s, den_scale):
+    (m1_ref, m2_ref, dl_ref, invprior_ref) = refs[:4]
+    n_pe = 4
+    zg_ref = None
+    if cut_grid is None:            # analysis-grid mode: grids are an input
+        zg_ref = refs[4]
+        n_pe = 5
+    cos_refs = refs[n_pe:n_pe + n_cos]
+    mass_refs = refs[n_pe + n_cos:n_pe + n_cos + n_mass]
+    den_ref, stats_ref = refs[n_pe + n_cos + n_mass:n_pe + n_cos + n_mass + 2]
+    z_scr, w_scr = refs[n_pe + n_cos + n_mass + 2:]
+
+    cosmo = _unpack_leaves(cos_refs, cos_def, cos_shapes)
+    mass = _unpack_leaves(mass_refs, mass_def, mass_shapes)
+
+    # ---- phase A: source-frame map + weights (the population code path) --
+    dl = dl_ref[...]                                   # (E, S)
+    z = cosmo_fns.z_from_dgw(cosmo, dl)
+    inv1pz = 1.0 / (1.0 + z)
+    w = p_m1m2(mass, m1_ref[...] * inv1pz, m2_ref[...] * inv1pz) \
+        * invprior_ref[...]
+    z_scr[...] = z
+    w_scr[...] = w
+
+    # ---- per-event statistics (two-pass std like jnp.std) ---------------
+    s = float(n_samples)
+    sum_w = jnp.sum(w, axis=-1, keepdims=True)         # (E, 1)
+    sum_w2 = jnp.sum(w * w, axis=-1, keepdims=True)
+    z_mean = jnp.mean(z, axis=-1, keepdims=True)
+    z_var = jnp.mean((z - z_mean) ** 2, axis=-1, keepdims=True)
+    z_sig = jnp.sqrt(z_var)
+    z_min = jnp.min(z, axis=-1, keepdims=True)
+    z_max = jnp.max(z, axis=-1, keepdims=True)
+
+    neff = sum_w * sum_w / sum_w2                      # Kish N_eff
+    h = bw_factor(neff, 1, bw_method) * z_sig          # bandwidth (E, 1)
+
+    # ---- phase B: KDE contraction over sample chunks --------------------
+    gp = den_ref.shape[2]
+    if cut_grid is None:
+        # evaluate directly on the analysis grids (== XLA path with
+        # cut_grid=None): no effective grid, no resampling outside
+        lo = jnp.zeros_like(z_min)
+        ub = jnp.zeros_like(z_min)
+        g = zg_ref[...]                                # (E, Gp)
+    else:
+        lo = jnp.where(z_min - cut_grid * z_sig > 0.0,
+                       z_min - cut_grid * z_sig, 1e-8)
+        ub = z_max + cut_grid * z_sig
+        delta = (ub - lo) / (n_grid - 1)
+        g_idx = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_E, gp), 1)
+        g = lo + delta * g_idx.astype(z.dtype)
+    inv_h = 1.0 / h                                    # (E, 1)
+
+    def chunk(i, acc):
+        zc = z_scr[:, pl.ds(i * block_s, block_s)]     # (E, Sc)
+        wc = w_scr[:, pl.ds(i * block_s, block_s)]
+        u = (g[:, :, None] - zc[:, None, :]) * inv_h[:, :, None]
+        if kernel == "epan":
+            k = 0.75 * jnp.maximum(0.0, 1.0 - u * u)
+        else:
+            k = jnp.exp(-0.5 * u * u) * (1.0 / _SQRT_2PI)
+        return acc + jnp.sum(wc[:, None, :] * k, axis=-1)
+
+    den = jax.lax.fori_loop(0, n_samples // block_s, chunk,
+                            jnp.zeros((_BLOCK_E, gp), z.dtype))
+    # normalized weights + 1/h, and the caller's `norms` factor folded in
+    # when den_scale='norms' (norms = mean(w) -> den * sum_w/S / (sum_w h))
+    if den_scale == "norms":
+        den_ref[0, :, :] = den * (inv_h / s)
+    else:
+        den_ref[0, :, :] = den * (inv_h / sum_w)
+
+    stats = jnp.concatenate(
+        [lo, ub, sum_w / s, neff, h, sum_w, z_sig, z_mean], axis=-1)
+    stats_ref[0, :, :] = stats.astype(den.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "kernel", "bw_method", "cut_grid", "n_grid", "den_scale", "interpret"))
+def fused_weights_kde(
+    m1det: Array, m2det: Array, dl: Array, inv_pe_prior: Array,
+    cosmo_batch, mass_batch, grids: Array | None = None,
+    kernel: str = "epan", bw_method=None, cut_grid: float | None = 2.0,
+    n_grid: int = 250, den_scale: str = "norms", interpret: bool = False,
+):
+    """Fused hot loop for a hyper-lambda batch.
+
+    Args:
+      m1det, m2det, dl, inv_pe_prior: (E, S) detector-frame PE samples
+        (lambda-independent; S must be a multiple of 512, E of 8 — pad
+        upstream with zero inv_pe_prior).
+      cosmo_batch / mass_batch: model pytrees whose array leaves carry a
+        leading lambda axis (from ``jax.vmap(pop.update)``).
+      grids: (E, n_grid) analysis grids, required iff cut_grid is None —
+        densities are then evaluated directly on them (no effective grid,
+        no resampling; compact-support kernels are exactly zero outside the
+        sample range, so nothing is lost).
+      den_scale: 'norms' folds the reference's ``norms = mean(w)`` factor
+        into the density (likelihood.py:111,142); 'unit' returns the
+        unit-mass KDE.
+
+    Returns:
+      den:   (L, E, n_grid) densities on per-(lambda,event) effective grids
+        (cut_grid mode) or on ``grids`` (analysis mode)
+      stats: dict with lo, ub, norms, neff, bandwidth  — each (L, E)
+    """
+    e, s = dl.shape
+    block_s = next((b for b in (_BLOCK_S, 256, 128) if s % b == 0), None)
+    if block_s is None or e % _BLOCK_E:
+        raise ValueError(
+            f"shapes must tile: E ({e}) % {_BLOCK_E}, S ({s}) % 128")
+    if (cut_grid is None) != (grids is not None):
+        raise ValueError("pass grids exactly when cut_grid is None")
+    cos_packed, cos_def, cos_shapes = _pack_leaves(cosmo_batch)
+    mass_packed, mass_def, mass_shapes = _pack_leaves(mass_batch)
+    L = cos_packed[0].shape[0] if cos_packed else mass_packed[0].shape[0]
+    if grids is not None:
+        n_grid = grids.shape[1]
+    gp = _round_up(n_grid, 128)
+
+    pe_spec = pl.BlockSpec((_BLOCK_E, s), lambda eb, l: (eb, 0),
+                           memory_space=pltpu.VMEM)
+    grid_inputs, grid_specs = [], []
+    if grids is not None:
+        # pad grid columns by repeating the endpoint (extra densities are
+        # computed at a duplicate abscissa and sliced off)
+        gpad = jnp.pad(grids, [(0, 0), (0, gp - n_grid)], mode="edge")
+        grid_inputs = [gpad]
+        grid_specs = [pl.BlockSpec((_BLOCK_E, gp), lambda eb, l: (eb, 0),
+                                   memory_space=pltpu.VMEM)]
+    leaf_specs = [
+        pl.BlockSpec((1, 1, p.shape[-1]), lambda eb, l: (l, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for p in cos_packed + mass_packed
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((L, e, gp), dl.dtype),
+        jax.ShapeDtypeStruct((L, e, 8), dl.dtype),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, _BLOCK_E, gp), lambda eb, l: (l, eb, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, _BLOCK_E, 8), lambda eb, l: (l, eb, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+    kern = functools.partial(
+        _fused_kernel, cos_def=cos_def, cos_shapes=cos_shapes,
+        mass_def=mass_def, mass_shapes=mass_shapes,
+        n_cos=len(cos_packed), n_mass=len(mass_packed),
+        kernel=kernel, bw_method=bw_method, cut_grid=cut_grid,
+        n_grid=n_grid, n_samples=s, block_s=block_s, den_scale=den_scale)
+
+    den, stats = pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        grid=(e // _BLOCK_E, L),        # lambda innermost: PE blocks reused
+        in_specs=[pe_spec] * 4 + grid_specs + leaf_specs,
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((_BLOCK_E, s), dl.dtype)] * 2,
+        interpret=interpret,
+    )(m1det, m2det, dl, inv_pe_prior, *grid_inputs, *cos_packed,
+      *mass_packed)
+
+    den = den[:, :, :n_grid]
+    return den, {
+        "lo": stats[:, :, 0], "ub": stats[:, :, 1],
+        "norms": stats[:, :, 2], "neff": stats[:, :, 3],
+        "bandwidth": stats[:, :, 4],
+    }
