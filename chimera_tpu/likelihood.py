@@ -85,6 +85,7 @@ class HyperLikelihood:
             kind = "1d"
         if kind == "full" and kernel != "gauss":
             kernel = "gauss"  # only Gaussian kernels in 3-D (likelihood.py:93-94)
+        theta_gw = _sort_samples_by_distance(theta_gw)
         return cls(theta_gw=theta_gw, z_grids=jnp.asarray(z_grids),
                    population=population, selection=selection, kind=kind,
                    kernel=kernel, bw_method=bw_method, cut_grid=cut_grid,
@@ -117,6 +118,30 @@ class HyperLikelihood:
 
     def compute_all(self, **hyper):
         return _jit_compute_all(self, dict(hyper))
+
+
+_PER_SAMPLE_FIELDS = ("m1det", "m2det", "dL", "phi", "theta", "ra", "dec",
+                      "pe_prior", "pixels_pe_opt_nside")
+
+
+def _sort_samples_by_distance(theta_gw: ThetaPEDet) -> ThetaPEDet:
+    """Sort each event's PE samples by dL (ascending), permuting every
+    per-sample field consistently.
+
+    Semantically free — KDEs, weights, and binning are sample-order
+    invariant (up to float reduction order) — but it makes the sample axis
+    *z-ordered under every cosmology* (z is monotone in dL), which lets the
+    fused Pallas kernel prune sample chunks against grid tiles using the
+    Epanechnikov kernel's compact support."""
+    if theta_gw.dL is None:
+        return theta_gw
+    order = jnp.argsort(theta_gw.dL, axis=-1)
+    updates = {}
+    for f in _PER_SAMPLE_FIELDS:
+        v = getattr(theta_gw, f, None)
+        if v is not None and v.ndim == 2 and v.shape == theta_gw.dL.shape:
+            updates[f] = jnp.take_along_axis(v, order, axis=-1)
+    return theta_gw.update(**updates)
 
 
 # ---------------------------------------------------------------------------

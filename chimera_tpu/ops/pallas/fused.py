@@ -123,6 +123,12 @@ def _fused_kernel(*refs, cos_def, cos_shapes, mass_def, mass_shapes,
         g = lo + delta * g_idx.astype(z.dtype)
     inv_h = 1.0 / h                                    # (E, 1)
 
+    # NOTE: a chunk-pruned variant (skip (grid-tile x sample-chunk) pairs
+    # outside the Epanechnikov support, exploiting the dL-sorted sample
+    # axis) was measured SLOWER at the flagship scale (8.3 vs 6.5 ms/lambda)
+    # — the scalar lax.cond per pair stalls Mosaic's pipelining and the
+    # per-event grids are only ~3x wider than the sample support.  The dense
+    # loop below is VPU-bound at ~speed of light for the contraction.
     def chunk(i, acc):
         zc = z_scr[:, pl.ds(i * block_s, block_s)]     # (E, Sc)
         wc = w_scr[:, pl.ds(i * block_s, block_s)]
@@ -135,8 +141,6 @@ def _fused_kernel(*refs, cos_def, cos_shapes, mass_def, mass_shapes,
 
     den = jax.lax.fori_loop(0, n_samples // block_s, chunk,
                             jnp.zeros((_BLOCK_E, gp), z.dtype))
-    # normalized weights + 1/h, and the caller's `norms` factor folded in
-    # when den_scale='norms' (norms = mean(w) -> den * sum_w/S / (sum_w h))
     if den_scale == "norms":
         den_ref[0, :, :] = den * (inv_h / s)
     else:
@@ -144,7 +148,7 @@ def _fused_kernel(*refs, cos_def, cos_shapes, mass_def, mass_shapes,
 
     stats = jnp.concatenate(
         [lo, ub, sum_w / s, neff, h, sum_w, z_sig, z_mean], axis=-1)
-    stats_ref[0, :, :] = stats.astype(den.dtype)
+    stats_ref[0, :, :] = stats.astype(z.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=(
