@@ -117,3 +117,74 @@ def pixelize_gw_catalog(
         pixels_pe_opt_nside=jnp.asarray(pe_pix),
         pixel_mask=jnp.asarray(mask),
     )
+
+
+def compact_samples_by_pixel(theta_gw: ThetaPEDet, pad_multiple: int = 128
+                             ) -> dict:
+    """Regroup each event's PE samples by their assigned pixel.
+
+    The pixelization snaps every sample into exactly one confidence pixel
+    (pixels *partition* the sample axis), so the per-pixel masked KDE of the
+    'marginalized' likelihood (reference likelihood.py:178-203) can run on
+    per-pixel contiguous sample blocks instead of P redundant full-S masked
+    passes — this is what makes the fused dark-siren kernel ~P times cheaper.
+
+    Returns a dict of lambda-independent arrays:
+      m1det, m2det, dL, inv_pe_prior: (Nev, P, S_pp) — padded slots carry
+        dL = event's min dL (so their z equals the reference's z.min()
+        filler under every cosmology) and inv_pe_prior = 0 (zero weight);
+      n_real: (Nev, P) sample count per pixel;
+      dl_fill: (Nev,) the filler distance.
+    S_pp is the max per-pixel occupancy rounded up to ``pad_multiple``.
+    """
+    pe_pix = np.asarray(theta_gw.pixels_pe_opt_nside)     # (E, S)
+    pixels = np.asarray(theta_gw.pixels_opt_nsides)       # (E, P)
+    pmask = np.asarray(theta_gw.pixel_mask)
+    m1 = np.asarray(theta_gw.m1det)
+    m2 = np.asarray(theta_gw.m2det)
+    dl = np.asarray(theta_gw.dL)
+    inv_prior = 1.0 / np.asarray(theta_gw.pe_prior)
+    n_ev, n_pix = pixels.shape
+
+    counts = np.zeros((n_ev, n_pix), dtype=np.int64)
+    idx_lists = []
+    for e in range(n_ev):
+        row = []
+        for p in range(n_pix):
+            if pmask[e, p]:
+                idx = np.flatnonzero(pe_pix[e] == pixels[e, p])
+            else:
+                idx = np.empty(0, dtype=np.int64)
+            counts[e, p] = idx.size
+            row.append(idx)
+        idx_lists.append(row)
+
+    s_pp = int(-(-max(1, counts.max()) // pad_multiple) * pad_multiple)
+    dl_fill = dl.min(axis=1)
+    out = {
+        "m1det": np.zeros((n_ev, n_pix, s_pp), m1.dtype),
+        "m2det": np.zeros((n_ev, n_pix, s_pp), m2.dtype),
+        "dL": np.repeat(dl_fill[:, None, None], n_pix, 1).repeat(s_pp, 2),
+        "inv_pe_prior": np.zeros((n_ev, n_pix, s_pp), inv_prior.dtype),
+    }
+    # filler masses: any in-support value (weights are zero); use the
+    # event's first sample so the kernel math stays finite
+    out["m1det"][:] = m1[:, :1, None]
+    out["m2det"][:] = m2[:, :1, None]
+    for e in range(n_ev):
+        for p in range(n_pix):
+            idx = idx_lists[e][p]
+            k = idx.size
+            out["m1det"][e, p, :k] = m1[e, idx]
+            out["m2det"][e, p, :k] = m2[e, idx]
+            out["dL"][e, p, :k] = dl[e, idx]
+            out["inv_pe_prior"][e, p, :k] = inv_prior[e, idx]
+
+    return {
+        "m1det": jnp.asarray(out["m1det"]),
+        "m2det": jnp.asarray(out["m2det"]),
+        "dL": jnp.asarray(out["dL"]),
+        "inv_pe_prior": jnp.asarray(out["inv_pe_prior"]),
+        "n_real": jnp.asarray(counts),
+        "dl_fill": jnp.asarray(dl_fill),
+    }

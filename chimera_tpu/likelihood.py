@@ -57,6 +57,9 @@ class HyperLikelihood:
     population: Population = None
     selection: SelectionFunction | None = None
     event_mask: Array | None = None  # (Nev,) bool; False = padding event
+    # per-pixel compacted PE samples (dark-siren fused kernel; see
+    # data.pixelize.compact_samples_by_pixel)
+    compact: dict | None = None
     kind: str = pytree.static_field(default="1d")
     kernel: str = pytree.static_field(default="epan")
     bw_method: object = pytree.static_field(default=None)
@@ -86,11 +89,16 @@ class HyperLikelihood:
         if kind == "full" and kernel != "gauss":
             kernel = "gauss"  # only Gaussian kernels in 3-D (likelihood.py:93-94)
         theta_gw = _sort_samples_by_distance(theta_gw)
+        compact = None
+        if kind == "marginalized" and not binning:
+            from chimera_tpu.data.pixelize import compact_samples_by_pixel
+
+            compact = compact_samples_by_pixel(theta_gw)
         return cls(theta_gw=theta_gw, z_grids=jnp.asarray(z_grids),
                    population=population, selection=selection, kind=kind,
                    kernel=kernel, bw_method=bw_method, cut_grid=cut_grid,
                    binning=binning, num_bins=num_bins, pe_neff=pe_neff,
-                   kde_engine=kde_engine)
+                   kde_engine=kde_engine, compact=compact)
 
     # convenience wrappers -----------------------------------------------
 
@@ -178,19 +186,31 @@ def _on_tpu() -> bool:
 
 
 def _fused_eligible(hl: HyperLikelihood) -> bool:
-    """The fully-fused Pallas path covers the flagship spectral configuration:
-    unbinned KDE on cut grids with the gather-free model engines."""
+    """The fully-fused Pallas path covers the unbinned-KDE configurations
+    ('1d', 'approximate', 'marginalized') with the gather-free model
+    engines."""
     tgw = hl.theta_gw
-    return (
-        hl.kind == "1d"
-        and not hl.binning
+    common = (
+        not hl.binning
         and hl.kernel in ("epan", "gauss")
         and (hl.bw_method is None or isinstance(hl.bw_method, (str, float)))
         and hl.population.cosmo.interp_method == "chebyshev"
         and hl.population.mass.cdf_engine == "analytic"
-        and tgw.m1det.shape[0] % 8 == 0
-        and tgw.m1det.shape[1] % 128 == 0
     )
+    if not common:
+        return False
+    if hl.kind in ("1d", "approximate"):
+        return tgw.m1det.shape[0] % 8 == 0 and tgw.m1det.shape[1] % 128 == 0
+    if hl.kind == "marginalized":
+        # cut_grid mode builds effective grids from the FULL event's sample
+        # stats (likelihood.py:115-121), which per-pixel rows cannot see;
+        # direct analysis-grid evaluation (cut_grid=None) has no effective
+        # grids and matches exactly.
+        if hl.compact is None or hl.cut_grid is not None:
+            return False
+        e, p, s_pp = hl.compact["m1det"].shape
+        return (e * p) % 8 == 0 and s_pp % 128 == 0
+    return False
 
 
 def _resolved_kde_engine(hl: HyperLikelihood) -> str:
@@ -303,12 +323,16 @@ def p_gw_3d_full(hl: HyperLikelihood, pop: Population) -> Array:
     nev, npix = tgw.pixel_mask.shape
     nz = hl.z_int_res
 
-    # z support mask (likelihood.py:222-225)
-    z_std = jnp.std(th_src.z, axis=1, keepdims=True)
-    z_hi = jnp.max(th_src.z, axis=1, keepdims=True)
-    z_lo = jnp.min(th_src.z, axis=1, keepdims=True)
-    z_mask = (hl.z_grids <= z_hi + hl.cut_grid * z_std) & (
-        hl.z_grids >= z_lo - hl.cut_grid * z_std)
+    # z support mask (likelihood.py:222-225); cut_grid=None keeps the full
+    # grid (the Gaussian KDE itself decays outside the sample support)
+    if hl.cut_grid is None:
+        z_mask = jnp.ones_like(hl.z_grids, dtype=bool)
+    else:
+        z_std = jnp.std(th_src.z, axis=1, keepdims=True)
+        z_hi = jnp.max(th_src.z, axis=1, keepdims=True)
+        z_lo = jnp.min(th_src.z, axis=1, keepdims=True)
+        z_mask = (hl.z_grids <= z_hi + hl.cut_grid * z_std) & (
+            hl.z_grids >= z_lo - hl.cut_grid * z_std)
 
     def one_event(z, ra, dec, w, zg, ra_pix, dec_pix):
         dataset = jnp.stack([z, ra, dec])          # (3, S)
@@ -403,13 +427,34 @@ def log_hyperlikelihood_batch(hl: HyperLikelihood, hyper_batch: dict) -> Array:
     return jax.vmap(lambda lam: log_hyperlikelihood(hl, lam))(hyper_batch)
 
 
+def _fused_tail(hl: HyperLikelihood, pop: Population, num: Array) -> Array:
+    """Per-event numerators -> log hyper-likelihood (one lambda)."""
+    log_evs = jnp.nan_to_num(jnp.log(num), nan=-jnp.inf)
+    if hl.event_mask is not None:
+        log_evs = jnp.where(hl.event_mask, log_evs, 0.0)
+    log_num = jnp.sum(log_evs)
+    if not pop.scale_free:
+        log_num += hl.n_events_real * jnp.log(pop.R0 * pop.Tobs)
+    n_exp = hl.selection.n_exp(pop)
+    if pop.scale_free:
+        return log_num - hl.n_events_real * jnp.log(n_exp)
+    return log_num - n_exp
+
+
 def _log_hyperlikelihood_batch_fused(hl: HyperLikelihood,
                                      hyper_batch: dict) -> Array:
     """Fused-kernel batch evaluation (numerically equivalent to the vmap
     path up to f32 reduction order; engine-agreement tested)."""
+    pop_b = jax.vmap(lambda lam: hl.population.update(**lam))(hyper_batch)
+    if hl.kind == "marginalized":
+        return _fused_batch_marginalized(hl, pop_b)
+    return _fused_batch_eventwise(hl, pop_b)
+
+
+def _fused_batch_eventwise(hl: HyperLikelihood, pop_b) -> Array:
+    """'1d' and 'approximate' kinds: one KDE per event."""
     from chimera_tpu.ops.pallas.fused import fused_weights_kde
 
-    pop_b = jax.vmap(lambda lam: hl.population.update(**lam))(hyper_batch)
     tgw = hl.theta_gw
     den, stats = fused_weights_kde(
         tgw.m1det, tgw.m2det, tgw.dL, 1.0 / tgw.pe_prior,
@@ -428,19 +473,65 @@ def _log_hyperlikelihood_batch_fused(hl: HyperLikelihood,
         p_gw = jnp.where(gate_l[:, None], jnp.nan_to_num(dens), 0.0)
         p_z = p_cbc(pop, hl.z_grids)
         jac = _jacobian(pop, hl.z_grids)
-        num = trapz(p_gw * p_z / jac, hl.z_grids, axis=-1)
-        log_evs = jnp.nan_to_num(jnp.log(num), nan=-jnp.inf)
-        if hl.event_mask is not None:
-            log_evs = jnp.where(hl.event_mask, log_evs, 0.0)
-        log_num = jnp.sum(log_evs)
-        if not pop.scale_free:
-            log_num += hl.n_events_real * jnp.log(pop.R0 * pop.Tobs)
-        n_exp = hl.selection.n_exp(pop)
-        if pop.scale_free:
-            return log_num - hl.n_events_real * jnp.log(n_exp)
-        return log_num - n_exp
+        if hl.kind == "1d":
+            num = trapz(p_gw * p_z / jac, hl.z_grids, axis=-1)
+        else:  # approximate: p_gw1d x masked 2-D localization pdf per pixel
+            loc = jnp.where(tgw.pixel_mask, tgw.gw_loc2d_pdf, 0.0)
+            integrand = (p_gw[:, None, :] * loc[:, :, None] * p_z
+                         / jac[:, None, :])
+            num = jnp.sum(trapz(integrand, hl.z_grids[:, None, :], axis=-1),
+                          axis=-1)
+        return _fused_tail(hl, pop, num)
 
     return jax.vmap(per_lambda)(pop_b, den, stats["lo"], stats["ub"], gate)
+
+
+def _fused_batch_marginalized(hl: HyperLikelihood, pop_b) -> Array:
+    """'marginalized' kind on per-pixel compacted samples: one KDE per
+    (event, pixel) row at ~1/P of the masked-dense cost (the pixels
+    partition the sample axis — data.pixelize.compact_samples_by_pixel)."""
+    from chimera_tpu.ops.pallas.fused import fused_weights_kde
+
+    tgw = hl.theta_gw
+    c = hl.compact
+    nev, npix, s_pp = c["m1det"].shape
+    b = nev * npix
+    nz = hl.z_int_res
+    flat = lambda a: a.reshape(b, s_pp)
+
+    # cut_grid is None by eligibility: densities evaluated directly on the
+    # per-event analysis grids (repeated per pixel).
+    den, stats = fused_weights_kde(
+        flat(c["m1det"]), flat(c["m2det"]), flat(c["dL"]),
+        flat(c["inv_pe_prior"]),
+        pop_b.cosmo, pop_b.mass,
+        grids=jnp.repeat(hl.z_grids, npix, axis=0),
+        n_real=c["n_real"].reshape(b), dl_fill=jnp.repeat(c["dl_fill"], npix),
+        logical_s=tgw.n_samples,
+        kernel=hl.kernel, bw_method=hl.bw_method, cut_grid=None,
+        den_scale="unit", interpret=not _on_tpu())
+
+    # Event-level norms and N_eff gates from the full weight sums (the
+    # pixels partition the samples, so per-event sums are pixel sums).
+    ll = den.shape[0]
+    sum_w = jnp.sum(stats["sum_w"].reshape(ll, nev, npix), axis=-1)
+    sum_w2 = jnp.sum(stats["sum_w2"].reshape(ll, nev, npix), axis=-1)
+    norms = sum_w / tgw.n_samples
+    gate = (sum_w * sum_w / sum_w2) >= hl.pe_neff
+    loc = jnp.where(tgw.pixel_mask, tgw.gw_loc2d_pdf, 0.0)
+
+    def per_lambda(pop, den_l, gate_l, norms_l):
+        p = den_l.reshape(nev, npix, nz) * loc[:, :, None]
+        p = p * norms_l[:, None, None]
+        p = jnp.where(gate_l[:, None, None], jnp.nan_to_num(p), 0.0)
+        p_z = p_cbc(pop, hl.z_grids)               # (E, P, Nz)
+        jac = _jacobian(pop, hl.z_grids)
+        integrand = p * p_z / jac[:, None, :]
+        num = jnp.sum(trapz(integrand, hl.z_grids[:, None, :], axis=-1),
+                      axis=-1)
+        return _fused_tail(hl, pop, num)
+
+    return jax.vmap(per_lambda)(pop_b, den, gate, norms)
 
 
 def compute_all(hl: HyperLikelihood, hyper: dict):

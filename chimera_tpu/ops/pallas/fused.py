@@ -69,13 +69,17 @@ def _unpack_leaves(refs, treedef, shapes):
 
 def _fused_kernel(*refs, cos_def, cos_shapes, mass_def, mass_shapes,
                   n_cos, n_mass, kernel, bw_method, cut_grid, n_grid,
-                  n_samples, block_s, den_scale):
+                  n_samples, block_s, den_scale, logical_s):
     (m1_ref, m2_ref, dl_ref, invprior_ref) = refs[:4]
     n_pe = 4
     zg_ref = None
     if cut_grid is None:            # analysis-grid mode: grids are an input
-        zg_ref = refs[4]
-        n_pe = 5
+        zg_ref = refs[n_pe]
+        n_pe += 1
+    nreal_ref = dlfill_ref = None
+    if logical_s is not None:       # compacted-pixel mode (see below)
+        nreal_ref, dlfill_ref = refs[n_pe:n_pe + 2]
+        n_pe += 2
     cos_refs = refs[n_pe:n_pe + n_cos]
     mass_refs = refs[n_pe + n_cos:n_pe + n_cos + n_mass]
     den_ref, stats_ref = refs[n_pe + n_cos + n_mass:n_pe + n_cos + n_mass + 2]
@@ -94,14 +98,33 @@ def _fused_kernel(*refs, cos_def, cos_shapes, mass_def, mass_shapes,
     w_scr[...] = w
 
     # ---- per-event statistics (two-pass std like jnp.std) ---------------
-    s = float(n_samples)
+    # In compacted-pixel mode ('marginalized' likelihood) each row holds one
+    # pixel's samples padded to S_pp with filler slots at dL = dl_fill; the
+    # *logical* row is the event's full S samples with out-of-pixel entries
+    # masked to z_fill / weight 0 (reference likelihood.py:180-181).  The
+    # weight sums need no correction (fillers carry zero weight); the z
+    # moments are corrected analytically from the filler counts.
     sum_w = jnp.sum(w, axis=-1, keepdims=True)         # (E, 1)
     sum_w2 = jnp.sum(w * w, axis=-1, keepdims=True)
-    z_mean = jnp.mean(z, axis=-1, keepdims=True)
-    z_var = jnp.mean((z - z_mean) ** 2, axis=-1, keepdims=True)
+    if logical_s is None:
+        s = float(n_samples)
+        z_mean = jnp.mean(z, axis=-1, keepdims=True)
+        z_var = jnp.mean((z - z_mean) ** 2, axis=-1, keepdims=True)
+        z_min = jnp.min(z, axis=-1, keepdims=True)
+        z_max = jnp.max(z, axis=-1, keepdims=True)
+    else:
+        s = float(logical_s)
+        n = nreal_ref[...].astype(z.dtype)             # (E, 1) real samples
+        f_pp = float(n_samples) - n                    # fillers present
+        f_log = s - n                                  # fillers logical
+        zf = cosmo_fns.z_from_dgw(cosmo, dlfill_ref[...])
+        sum_z_real = jnp.sum(z, axis=-1, keepdims=True) - f_pp * zf
+        z_mean = (sum_z_real + f_log * zf) / s
+        ss_pp = jnp.sum((z - z_mean) ** 2, axis=-1, keepdims=True)
+        z_var = (ss_pp + (f_log - f_pp) * (zf - z_mean) ** 2) / s
+        z_min = jnp.minimum(jnp.min(z, axis=-1, keepdims=True), zf)
+        z_max = jnp.maximum(jnp.max(z, axis=-1, keepdims=True), zf)
     z_sig = jnp.sqrt(z_var)
-    z_min = jnp.min(z, axis=-1, keepdims=True)
-    z_max = jnp.max(z, axis=-1, keepdims=True)
 
     neff = sum_w * sum_w / sum_w2                      # Kish N_eff
     h = bw_factor(neff, 1, bw_method) * z_sig          # bandwidth (E, 1)
@@ -147,15 +170,18 @@ def _fused_kernel(*refs, cos_def, cos_shapes, mass_def, mass_shapes,
         den_ref[0, :, :] = den * (inv_h / sum_w)
 
     stats = jnp.concatenate(
-        [lo, ub, sum_w / s, neff, h, sum_w, z_sig, z_mean], axis=-1)
+        [lo, ub, sum_w / s, neff, h, sum_w, sum_w2, z_sig], axis=-1)
     stats_ref[0, :, :] = stats.astype(z.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "kernel", "bw_method", "cut_grid", "n_grid", "den_scale", "interpret"))
+    "kernel", "bw_method", "cut_grid", "n_grid", "den_scale", "interpret",
+    "logical_s"))
 def fused_weights_kde(
     m1det: Array, m2det: Array, dl: Array, inv_pe_prior: Array,
     cosmo_batch, mass_batch, grids: Array | None = None,
+    n_real: Array | None = None, dl_fill: Array | None = None,
+    logical_s: int | None = None,
     kernel: str = "epan", bw_method=None, cut_grid: float | None = 2.0,
     n_grid: int = 250, den_scale: str = "norms", interpret: bool = False,
 ):
@@ -171,6 +197,11 @@ def fused_weights_kde(
         densities are then evaluated directly on them (no effective grid,
         no resampling; compact-support kernels are exactly zero outside the
         sample range, so nothing is lost).
+      n_real, dl_fill, logical_s: compacted-pixel mode (see
+        data.pixelize.compact_samples_by_pixel): each row is one pixel's
+        samples padded to S with fillers at dl_fill; stats are corrected to
+        the logical row of ``logical_s`` samples with out-of-pixel entries
+        at the z_fill / zero-weight sentinel values.
       den_scale: 'norms' folds the reference's ``norms = mean(w)`` factor
         into the density (likelihood.py:111,142); 'unit' returns the
         unit-mass KDE.
@@ -204,6 +235,13 @@ def fused_weights_kde(
         grid_inputs = [gpad]
         grid_specs = [pl.BlockSpec((_BLOCK_E, gp), lambda eb, l: (eb, 0),
                                    memory_space=pltpu.VMEM)]
+    if logical_s is not None:
+        if n_real is None or dl_fill is None:
+            raise ValueError("logical_s requires n_real and dl_fill")
+        grid_inputs += [n_real.reshape(e, 1).astype(dl.dtype),
+                        dl_fill.reshape(e, 1).astype(dl.dtype)]
+        grid_specs += [pl.BlockSpec((_BLOCK_E, 1), lambda eb, l: (eb, 0),
+                                    memory_space=pltpu.VMEM)] * 2
     leaf_specs = [
         pl.BlockSpec((1, 1, p.shape[-1]), lambda eb, l: (l, 0, 0),
                      memory_space=pltpu.VMEM)
@@ -225,7 +263,8 @@ def fused_weights_kde(
         mass_def=mass_def, mass_shapes=mass_shapes,
         n_cos=len(cos_packed), n_mass=len(mass_packed),
         kernel=kernel, bw_method=bw_method, cut_grid=cut_grid,
-        n_grid=n_grid, n_samples=s, block_s=block_s, den_scale=den_scale)
+        n_grid=n_grid, n_samples=s, block_s=block_s, den_scale=den_scale,
+        logical_s=logical_s)
 
     den, stats = pl.pallas_call(
         kern,
@@ -243,4 +282,5 @@ def fused_weights_kde(
         "lo": stats[:, :, 0], "ub": stats[:, :, 1],
         "norms": stats[:, :, 2], "neff": stats[:, :, 3],
         "bandwidth": stats[:, :, 4],
+        "sum_w": stats[:, :, 5], "sum_w2": stats[:, :, 6],
     }

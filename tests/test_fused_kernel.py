@@ -57,3 +57,67 @@ def test_fused_respects_event_mask(spectral_hl):
     a = np.asarray(_log_hyperlikelihood_batch_fused(spectral_hl, {"H0": h0s}))
     b = np.asarray(_log_hyperlikelihood_batch_fused(hl_pad, {"H0": h0s}))
     np.testing.assert_allclose(b, a, rtol=1e-10)
+
+
+@pytest.fixture(scope="module")
+def dark_hl(fiducial_population):
+    from chimera_tpu.catalog import DVdzCompleteness
+    from chimera_tpu.catalog.build import build_pixelated_catalog
+    from chimera_tpu.data.mock import (make_mock_catalog, make_mock_galaxies,
+                                       make_mock_injections)
+    from chimera_tpu.data.pixelize import pixelize_gw_catalog
+    from chimera_tpu.models import compute_z_grids
+
+    pop = fiducial_population
+    theta, truths = make_mock_catalog(
+        jax.random.PRNGKey(77), pop, n_events=8, n_samples=256,
+        sigma_sky_rad=0.03, oversample=400, return_truths=True)
+    theta = pixelize_gw_catalog(theta, nside_list=[8, 16],
+                                mean_npixels_event=6, sky_conf=0.9)
+    z_grids = compute_z_grids(pop.cosmo, theta,
+                              cosmo_prior={"H0": [40.0, 120.0]},
+                              z_int_res=100)
+    gal = make_mock_galaxies(jax.random.PRNGKey(78), pop, truths,
+                             n_background=8_000)
+    compl = DVdzCompleteness.create(z_range=(0.0, 3.0), kind="step")
+    gc = build_pixelated_catalog(gal, theta, z_grids, pop.cosmo, compl,
+                                 z_err=0.01)
+    pop_pix = pytree.replace(pop, gal_cat=gc)
+    inj, n_inj = make_mock_injections(jax.random.PRNGKey(79), pop,
+                                      n_generated=20_000)
+    sel = SelectionFunction.create(inj, n_inj)
+    return theta, z_grids, pop_pix, sel
+
+
+@pytest.mark.parametrize("kind,cut_grid", [("approximate", 2.0),
+                                           ("approximate", None),
+                                           ("marginalized", None)])
+def test_fused_pixelated_matches_vmap(dark_hl, kind, cut_grid):
+    theta, z_grids, pop_pix, sel = dark_hl
+    hl = HyperLikelihood.create(theta, z_grids, pop_pix, sel, kind=kind,
+                                binning=False, cut_grid=cut_grid)
+    assert _fused_eligible(hl), "fixture should produce an eligible config"
+    h0s = jnp.linspace(55.0, 95.0, 4)
+    expect = np.asarray(log_hyperlikelihood_batch(hl, {"H0": h0s}))
+    got = np.asarray(_log_hyperlikelihood_batch_fused(hl, {"H0": h0s}))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, expect, rtol=1e-8)
+
+
+def test_compaction_partitions_samples(dark_hl):
+    from chimera_tpu.data.pixelize import compact_samples_by_pixel
+
+    theta = dark_hl[0]
+    c = compact_samples_by_pixel(theta)
+    counts = np.asarray(c["n_real"])
+    # pixels partition the sample axis
+    assert (counts.sum(axis=1) == theta.n_samples).all()
+    # padded slots have zero weight and the filler distance
+    inv_p = np.asarray(c["inv_pe_prior"])
+    dl = np.asarray(c["dL"])
+    for e in range(counts.shape[0]):
+        for p in range(counts.shape[1]):
+            k = counts[e, p]
+            assert (inv_p[e, p, k:] == 0).all()
+            np.testing.assert_allclose(dl[e, p, k:],
+                                       float(np.asarray(c["dl_fill"])[e]))
