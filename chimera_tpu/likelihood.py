@@ -427,18 +427,38 @@ def log_hyperlikelihood_batch(hl: HyperLikelihood, hyper_batch: dict) -> Array:
     return jax.vmap(lambda lam: log_hyperlikelihood(hl, lam))(hyper_batch)
 
 
-def _fused_tail(hl: HyperLikelihood, pop: Population, num: Array) -> Array:
-    """Per-event numerators -> log hyper-likelihood (one lambda)."""
+def _sum_log_evs(hl: HyperLikelihood, num: Array) -> Array:
+    """Per-event numerators (..., Nev) -> summed log terms (...,) with
+    nan -> -inf scrubbing and padding events zeroed (shard-exact)."""
     log_evs = jnp.nan_to_num(jnp.log(num), nan=-jnp.inf)
     if hl.event_mask is not None:
         log_evs = jnp.where(hl.event_mask, log_evs, 0.0)
-    log_num = jnp.sum(log_evs)
-    if not pop.scale_free:
-        log_num += hl.n_events_real * jnp.log(pop.R0 * pop.Tobs)
-    n_exp = hl.selection.n_exp(pop)
-    if pop.scale_free:
-        return log_num - hl.n_events_real * jnp.log(n_exp)
-    return log_num - n_exp
+    return jnp.sum(log_evs, axis=-1)
+
+
+def _finish_batch(hl: HyperLikelihood, pop_b, log_evs_sum: Array,
+                  n_exp: Array, n_events_real) -> Array:
+    """Combine (batched) summed log numerators with N_exp
+    (likelihood.py:294-316)."""
+    scale_free = hl.population.scale_free
+    if not scale_free:
+        log_evs_sum = log_evs_sum + n_events_real * jnp.log(
+            pop_b.R0 * pop_b.Tobs)
+        return log_evs_sum - n_exp
+    return log_evs_sum - n_events_real * jnp.log(n_exp)
+
+
+def batch_numerators(hl: HyperLikelihood, pop_b) -> Array:
+    """Per-event numerator integrals for a hyper-lambda batch — (L, Nev).
+
+    Dispatches to the fused Pallas kernel when eligible, else the vmapped
+    stage-by-stage path.  This is the shard-local building block of the
+    mesh-distributed evaluation (chimera_tpu.parallel)."""
+    if _resolved_batch_engine(hl) == "fused":
+        if hl.kind == "marginalized":
+            return _fused_batch_marginalized(hl, pop_b)
+        return _fused_batch_eventwise(hl, pop_b)
+    return jax.vmap(lambda pop: numerator_per_event(hl, pop))(pop_b)
 
 
 def _log_hyperlikelihood_batch_fused(hl: HyperLikelihood,
@@ -446,9 +466,10 @@ def _log_hyperlikelihood_batch_fused(hl: HyperLikelihood,
     """Fused-kernel batch evaluation (numerically equivalent to the vmap
     path up to f32 reduction order; engine-agreement tested)."""
     pop_b = jax.vmap(lambda lam: hl.population.update(**lam))(hyper_batch)
-    if hl.kind == "marginalized":
-        return _fused_batch_marginalized(hl, pop_b)
-    return _fused_batch_eventwise(hl, pop_b)
+    num = batch_numerators(hl, pop_b)
+    log_evs_sum = _sum_log_evs(hl, num)
+    n_exp = jax.vmap(hl.selection.n_exp)(pop_b)
+    return _finish_batch(hl, pop_b, log_evs_sum, n_exp, hl.n_events_real)
 
 
 def _fused_batch_eventwise(hl: HyperLikelihood, pop_b) -> Array:
@@ -481,7 +502,7 @@ def _fused_batch_eventwise(hl: HyperLikelihood, pop_b) -> Array:
                          / jac[:, None, :])
             num = jnp.sum(trapz(integrand, hl.z_grids[:, None, :], axis=-1),
                           axis=-1)
-        return _fused_tail(hl, pop, num)
+        return num
 
     return jax.vmap(per_lambda)(pop_b, den, stats["lo"], stats["ub"], gate)
 
@@ -527,9 +548,8 @@ def _fused_batch_marginalized(hl: HyperLikelihood, pop_b) -> Array:
         p_z = p_cbc(pop, hl.z_grids)               # (E, P, Nz)
         jac = _jacobian(pop, hl.z_grids)
         integrand = p * p_z / jac[:, None, :]
-        num = jnp.sum(trapz(integrand, hl.z_grids[:, None, :], axis=-1),
-                      axis=-1)
-        return _fused_tail(hl, pop, num)
+        return jnp.sum(trapz(integrand, hl.z_grids[:, None, :], axis=-1),
+                       axis=-1)
 
     return jax.vmap(per_lambda)(pop_b, den, gate, norms)
 

@@ -2,6 +2,7 @@
 
 from chimera_tpu.parallel.mesh import (
     DATA_AXIS,
+    init_distributed,
     PARAMS_AXIS,
     log_like_batch_sharded,
     make_mesh,
@@ -12,6 +13,7 @@ from chimera_tpu.parallel.mesh import (
 
 __all__ = [
     "DATA_AXIS",
+    "init_distributed",
     "PARAMS_AXIS",
     "log_like_batch_sharded",
     "make_mesh",

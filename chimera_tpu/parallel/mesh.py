@@ -108,8 +108,21 @@ def pad_events(hl: HyperLikelihood, multiple: int) -> HyperLikelihood:
     theta = jax.tree_util.tree_map(pad_leaf, hl.theta_gw)
     z_grids = jax.vmap(lambda i: hl.z_grids[jnp.minimum(i, nev - 1)])(
         jnp.arange(n_target))
+    compact = None
+    if hl.compact is not None:
+        # padded events: zero-weight fillers everywhere (n_real = 0)
+        compact = {
+            "m1det": _pad_axis0(hl.compact["m1det"], n_target, 1.0),
+            "m2det": _pad_axis0(hl.compact["m2det"], n_target, 1.0),
+            "dL": _pad_axis0(hl.compact["dL"], n_target, 1.0),
+            "inv_pe_prior": _pad_axis0(hl.compact["inv_pe_prior"],
+                                       n_target, 0.0),
+            "n_real": _pad_axis0(hl.compact["n_real"], n_target, 0),
+            "dl_fill": _pad_axis0(hl.compact["dl_fill"], n_target, 1.0),
+        }
     # reuse real z-grids for padding rows (monotone grids keep trapz sane)
-    return pytree.replace(hl, theta_gw=theta, z_grids=z_grids, event_mask=mask)
+    return pytree.replace(hl, theta_gw=theta, z_grids=z_grids,
+                          event_mask=mask, compact=compact)
 
 
 def pad_injections(sel: SelectionFunction, multiple: int) -> SelectionFunction:
@@ -136,9 +149,10 @@ def pad_injections(sel: SelectionFunction, multiple: int) -> SelectionFunction:
 
 def shard_hyperlikelihood(hl: HyperLikelihood, mesh: Mesh) -> HyperLikelihood:
     """Place event- and injection-indexed leaves sharded over the DATA axis;
-    everything else replicated.  Pads both axes as needed first."""
+    everything else replicated.  Pads both axes as needed first (events to
+    8 per shard so the fused Pallas kernel tiles locally)."""
     n_data = mesh.shape[DATA_AXIS]
-    hl = pad_events(hl, n_data)
+    hl = pad_events(hl, 8 * n_data)
     hl = pytree.replace(hl, selection=pad_injections(hl.selection, n_data))
 
     nev = hl.n_events
@@ -156,18 +170,62 @@ def shard_hyperlikelihood(hl: HyperLikelihood, mesh: Mesh) -> HyperLikelihood:
     return jax.tree_util.tree_map(place, hl)
 
 
+def _data_specs(hl: HyperLikelihood):
+    """PartitionSpec pytree mirroring ``shard_hyperlikelihood``'s placement."""
+    nev = hl.n_events
+    ninj = hl.selection.theta_inj.n_detected
+
+    def spec(x):
+        if x is None or not hasattr(x, "ndim"):
+            return P()
+        if x.ndim >= 1 and x.shape[0] in (nev, ninj):
+            return P(DATA_AXIS)
+        return P()
+
+    return jax.tree_util.tree_map(spec, hl)
+
+
 def log_like_batch_sharded(hl: HyperLikelihood, hyper_batch: dict,
                            mesh: Mesh) -> jax.Array:
     """Evaluate a hyper-lambda batch with the batch sharded over PARAMS and
     the data over DATA (the reference's 'both' scheme as one jit).
 
-    The batch size must be a multiple of the params-axis size."""
+    Explicit SPMD: each device evaluates its walker shard against its
+    event/injection shard (through the fused Pallas kernel when eligible —
+    GSPMD cannot auto-partition an opaque kernel call), then psums the
+    per-event log terms and the selection partial sums over the DATA axis —
+    the in-program form of the reference's MPI allreduces
+    (parallel.py:277-407).  The batch size must be a multiple of the
+    params-axis size."""
+    from jax import shard_map
+
+    from chimera_tpu.likelihood import _finish_batch, _sum_log_evs, batch_numerators
+
     batch_sharding = NamedSharding(mesh, P(PARAMS_AXIS))
     hyper_batch = {k: jax.device_put(jnp.asarray(v), batch_sharding)
                    for k, v in hyper_batch.items()}
+    specs = _data_specs(hl)
+    batch_specs = {k: P(PARAMS_AXIS) for k in hyper_batch}
 
-    @jax.jit
-    def run(hl, batch):
-        return jax.vmap(lambda lam: log_hyperlikelihood(hl, lam))(batch)
+    def local_eval(hl_local, batch_local):
+        pop_b = jax.vmap(lambda lam: hl_local.population.update(**lam))(
+            batch_local)
+        num = batch_numerators(hl_local, pop_b)            # (Lloc, Eloc)
+        log_evs = jax.lax.psum(_sum_log_evs(hl_local, num), DATA_AXIS)
+        s1, s2 = jax.vmap(hl_local.selection.partial_sums)(pop_b)
+        s1 = jax.lax.psum(s1, DATA_AXIS)
+        s2 = jax.lax.psum(s2, DATA_AXIS)
+        if hl_local.event_mask is not None:
+            nev_real = jax.lax.psum(jnp.sum(hl_local.event_mask), DATA_AXIS)
+        else:
+            nev_real = jax.lax.psum(hl_local.n_events, DATA_AXIS)
+        n_exp = jax.vmap(hl_local.selection.n_exp_from_sums)(pop_b, s1, s2)
+        return _finish_batch(hl_local, pop_b, log_evs, n_exp, nev_real)
 
+    # check_vma=False: the varying-mesh-axes checker cannot see through
+    # pallas_call's out_shape (the fused kernel); correctness is covered by
+    # the sharded-vs-single equivalence tests.
+    run = jax.jit(shard_map(
+        local_eval, mesh=mesh, in_specs=(specs, batch_specs),
+        out_specs=P(PARAMS_AXIS), check_vma=False))
     return run(hl, hyper_batch)

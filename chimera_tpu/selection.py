@@ -37,16 +37,31 @@ class SelectionFunction:
         return cls(theta_inj=theta_inj, n_inj=jnp.asarray(float(n_inj)),
                    n_eff_min=n_eff_min)
 
-    def n_exp(self, pop: Population) -> Array:
-        """Expected number of detections (selection_function.py:35-48)."""
+    def partial_sums(self, pop: Population) -> tuple[Array, Array]:
+        """(sum dN/pdraw, sum (dN/pdraw)^2) over the LOCAL injection shard.
+
+        The two scalars are all a device must contribute to the global
+        estimate: ``n_exp_from_sums`` finishes after a psum over the data
+        axis (the in-program equivalent of the reference's MPI allreduce of
+        partial xi sums, parallel.py:280-304)."""
         dn = pop_rate_det(pop, self.theta_inj) / self.theta_inj.p_draw
-        xi = jnp.nansum(dn, axis=-1) / self.n_inj
+        dn = jnp.nan_to_num(dn)  # matches the reference's nansum
+        return jnp.sum(dn, axis=-1), jnp.sum(dn * dn, axis=-1)
+
+    def n_exp_from_sums(self, pop: Population, s1: Array, s2: Array) -> Array:
+        """Finish N_exp from (globally-summed) partials."""
+        xi = s1 / self.n_inj
         n_exp = pop.Tobs * xi
         if self.n_eff_min is not None:
-            var = jnp.sum(dn * dn, axis=-1) / self.n_inj**2 - xi * xi / self.n_inj
+            var = s2 / self.n_inj**2 - xi * xi / self.n_inj
             n_eff = xi * xi / var
             n_exp = jnp.where(n_eff < self.n_eff_min, 0.0, n_exp)
         return n_exp
+
+    def n_exp(self, pop: Population) -> Array:
+        """Expected number of detections (selection_function.py:35-48)."""
+        s1, s2 = self.partial_sums(pop)
+        return self.n_exp_from_sums(pop, s1, s2)
 
     def __call__(self, pop: Population) -> Array:
         return self.n_exp(pop)

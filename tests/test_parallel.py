@@ -77,3 +77,23 @@ def test_params_only_mesh(hyperlike):
     got = np.asarray(log_like_batch_sharded(hl_sharded, {"H0": h0s}, mesh))
     expect = np.asarray(hyperlike.log_like_batch({"H0": h0s}))
     np.testing.assert_allclose(got, expect, rtol=1e-9)
+
+
+def test_sharded_fused_engine(fiducial_population, mock_catalog,
+                              mock_injections, mock_z_grids):
+    """Fused Pallas path under shard_map (interpret mode on the CPU mesh)
+    equals the single-device vmap path."""
+    theta_inj, n_inj = mock_injections
+    sel = SelectionFunction.create(theta_inj, n_inj)
+    hl = HyperLikelihood.create(mock_catalog, mock_z_grids,
+                                fiducial_population, sel, binning=False,
+                                cut_grid=None, kde_engine="fused")
+    mesh = make_mesh(params=2, data=4)
+    hls = shard_hyperlikelihood(hl, mesh)
+    h0s = jnp.linspace(55.0, 95.0, 8)
+    got = np.asarray(log_like_batch_sharded(hls, {"H0": h0s}, mesh))
+    hl_ref = HyperLikelihood.create(mock_catalog, mock_z_grids,
+                                    fiducial_population, sel, binning=False,
+                                    cut_grid=None, kde_engine="xla")
+    exp = np.asarray(hl_ref.log_like_batch({"H0": h0s}))
+    np.testing.assert_allclose(got, exp, rtol=1e-8)
