@@ -48,6 +48,9 @@ def build_pixelated_catalog(
     weights: np.ndarray | None = None,
     sumgauss: str = "dVdz",
     nest: bool = False,
+    mask: np.ndarray | None = None,
+    z_reshuffle_seed: int | None = None,
+    out_file: str | None = None,
 ) -> PixelatedCatalog:
     """Precompute the pixelated catalog prior for a pixelized GW catalog.
 
@@ -60,12 +63,24 @@ def build_pixelated_catalog(
       z_err: per-galaxy redshift sigma as a fraction of (1 + z)
              (catalog.py:115).
       sumgauss: 'dVdz' or 'pbkg' — which prior multiplies the Gaussians.
+      mask: optional boolean galaxy subselection (catalog.py:120-123).
+      z_reshuffle_seed: if set, resample each galaxy's z from
+        N(z, z_err (1+z)) — the reference's mock-scatter option
+        (catalog.py:124-127), but seeded.
+      out_file: optional HDF5 path to persist the precomputed state
+        (reload with ``load_pixelated_catalog`` and skip this precompute).
     """
     ra = np.asarray(galaxies["ra"])
     dec = np.asarray(galaxies["dec"])
     z = np.asarray(galaxies["z"])
     w = np.ones_like(z) if weights is None else np.asarray(weights)
+    if mask is not None:
+        ra, dec, z, w = (a[np.asarray(mask)] for a in (ra, dec, z, w))
     sig = z_err * (1.0 + z)
+    if z_reshuffle_seed is not None:
+        rng = np.random.default_rng(z_reshuffle_seed)
+        z = rng.normal(z, sig)
+        sig = z_err * (1.0 + z)
 
     z_grids_np = np.asarray(z_grids)
     nev, nz = z_grids_np.shape
@@ -111,10 +126,37 @@ def build_pixelated_catalog(
         p_cat[e][~np.isfinite(p_cat[e])] = 0.0
 
     P_compl = np.asarray(completeness.P_compl(jnp.asarray(z_grids_np)))[:, None, :]
-    return PixelatedCatalog(
+    cat = PixelatedCatalog(
         p_cat=jnp.asarray(p_cat),
         P_compl=jnp.asarray(P_compl),
         pixel_mask=jnp.asarray(pixel_mask),
         n_gal=jnp.asarray(n_gal),
         completeness=completeness,
     )
+    if out_file is not None:
+        save_pixelated_catalog(out_file, cat)
+    return cat
+
+
+_CAT_FIELDS = ("p_cat", "P_compl", "pixel_mask", "n_gal")
+
+
+def save_pixelated_catalog(fname: str, cat: PixelatedCatalog) -> None:
+    """Persist the precomputed catalog state (the reference's save_set use,
+    catalog.py:96-103); the completeness model is reattached at load."""
+    import h5py
+
+    with h5py.File(fname, "w") as f:
+        for k in _CAT_FIELDS:
+            f.create_dataset(k, data=np.asarray(getattr(cat, k)))
+
+
+def load_pixelated_catalog(fname: str, completeness) -> PixelatedCatalog:
+    """Reload a precomputed catalog, skipping the precompute entirely
+    (the reference's gal_cat_file path, catalog.py:101-103, 140-141)."""
+    import h5py
+
+    with h5py.File(fname, "r") as f:
+        arrs = {k: jnp.asarray(f[k][...]) for k in _CAT_FIELDS}
+    arrs["pixel_mask"] = arrs["pixel_mask"].astype(bool)
+    return PixelatedCatalog(completeness=completeness, **arrs)

@@ -134,17 +134,41 @@ def make_vector_log_prob(hl, param_names: list[str],
 def initialize_walkers(key, center: dict, n_walkers: int,
                        param_names: list[str],
                        scale: dict | None = None,
-                       bounds: dict | None = None) -> Array:
-    """Gaussian ball around ``center`` (reference emcee_utils.py:68-129
-    'gaussian' mode), clipped into bounds."""
+                       bounds: dict | None = None,
+                       distribution: str = "gaussian") -> Array:
+    """Initial walker positions (reference emcee_utils.py:68-129).
+
+    distribution:
+      'gaussian'   — Gaussian ball around ``center``, clipped into bounds;
+      'truncgauss' — Gaussian ball; out-of-bounds coordinates redrawn
+                     uniformly within the bounds (the reference's scheme);
+      'uniform'    — uniform within bounds (requires finite bounds).
+    Chain restart is separate: ``inference.load_state`` on the latest chain
+    file (emcee_utils.py:130-152).
+    """
     ndim = len(param_names)
     mu = jnp.array([center[p] for p in param_names])
     sig = jnp.array([(scale or {}).get(p, 0.05 * abs(center[p]) + 1e-3)
                      for p in param_names])
-    x = mu + sig * jax.random.normal(key, (n_walkers, ndim))
+    lo = jnp.array([(bounds or {}).get(p, (-jnp.inf, jnp.inf))[0]
+                    for p in param_names])
+    hi = jnp.array([(bounds or {}).get(p, (-jnp.inf, jnp.inf))[1]
+                    for p in param_names])
+    span = jnp.where(jnp.isfinite(hi - lo), hi - lo, 1.0)
+    k_norm, k_unif = jax.random.split(key)
+
+    if distribution == "uniform":
+        if bounds is None or not bool(jnp.all(jnp.isfinite(hi - lo))):
+            raise ValueError("'uniform' initialization requires finite bounds")
+        return lo + span * jax.random.uniform(k_unif, (n_walkers, ndim))
+
+    x = mu + sig * jax.random.normal(k_norm, (n_walkers, ndim))
+    if distribution == "truncgauss":
+        redraw = lo + span * jax.random.uniform(k_unif, (n_walkers, ndim))
+        return jnp.where((x < lo) | (x > hi), redraw, x)
+    if distribution != "gaussian":
+        raise ValueError(
+            "distribution must be 'gaussian', 'truncgauss', or 'uniform'")
     if bounds:
-        lo = jnp.array([bounds.get(p, (-jnp.inf, jnp.inf))[0] for p in param_names])
-        hi = jnp.array([bounds.get(p, (-jnp.inf, jnp.inf))[1] for p in param_names])
-        span = jnp.where(jnp.isfinite(hi - lo), hi - lo, 1.0)
         x = jnp.clip(x, lo + 1e-6 * span, hi - 1e-6 * span)
     return x

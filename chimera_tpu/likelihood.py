@@ -119,6 +119,9 @@ class HyperLikelihood:
         return self.z_grids.shape[1]
 
     def log_like(self, **hyper) -> Array:
+        if _resolved_batch_engine(self) == "fused":
+            batch = {k: jnp.asarray(v)[None] for k, v in hyper.items()}
+            return _jit_log_hyperlikelihood_batch(self, batch)[0]
         return _jit_log_hyperlikelihood(self, dict(hyper))
 
     def log_like_batch(self, hyper_batch: dict) -> Array:

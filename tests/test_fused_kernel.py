@@ -121,3 +121,62 @@ def test_compaction_partitions_samples(dark_hl):
             assert (inv_p[e, p, k:] == 0).all()
             np.testing.assert_allclose(dl[e, p, k:],
                                        float(np.asarray(c["dl_fill"])[e]))
+
+
+def test_fused_mgflrw(mock_catalog, mock_injections, mock_z_grids):
+    """Modified-gravity cosmology (MGFLRW) through the fused kernel."""
+    from chimera_tpu.catalog import EmptyCatalog
+    from chimera_tpu.models import (MGFLRW, MadauDickinsonRate, Population,
+                                    PowerLawPeak)
+
+    cosmo = MGFLRW.create(H0=70.0, Om0=0.25, Xi0=1.2, n=2.0)
+    pop = Population.create(cosmo, PowerLawPeak.create(),
+                            MadauDickinsonRate.create(),
+                            gal_cat=EmptyCatalog())
+    theta_inj, n_inj = mock_injections
+    sel = SelectionFunction.create(theta_inj, n_inj)
+    hl = HyperLikelihood.create(mock_catalog, mock_z_grids, pop, sel,
+                                binning=False, cut_grid=None)
+    assert _fused_eligible(hl)
+    from chimera_tpu.likelihood import log_hyperlikelihood
+
+    batch = {"H0": jnp.array([65.0, 75.0]), "Xi0": jnp.array([0.9, 1.4])}
+    expect = np.asarray(jax.vmap(
+        lambda lam: log_hyperlikelihood(hl, lam))(batch))
+    got = np.asarray(_log_hyperlikelihood_batch_fused(hl, batch))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, expect, rtol=1e-8)
+
+
+def test_catalog_save_load_roundtrip(tmp_path, dark_hl):
+    from chimera_tpu.catalog import DVdzCompleteness
+    from chimera_tpu.catalog.build import (load_pixelated_catalog,
+                                           save_pixelated_catalog)
+
+    _, _, pop_pix, _ = dark_hl
+    cat = pop_pix.gal_cat
+    f = str(tmp_path / "cat.h5")
+    save_pixelated_catalog(f, cat)
+    compl = DVdzCompleteness.create(z_range=(0.0, 3.0), kind="step")
+    cat2 = load_pixelated_catalog(f, compl)
+    np.testing.assert_array_equal(np.asarray(cat2.p_cat),
+                                  np.asarray(cat.p_cat))
+    np.testing.assert_array_equal(np.asarray(cat2.pixel_mask),
+                                  np.asarray(cat.pixel_mask))
+
+
+def test_walker_init_modes():
+    from chimera_tpu.inference import initialize_walkers
+
+    bounds = {"a": (0.0, 1.0), "b": (-2.0, 2.0)}
+    for dist in ("gaussian", "truncgauss", "uniform"):
+        x = np.asarray(initialize_walkers(
+            jax.random.PRNGKey(0), {"a": 0.5, "b": 0.0}, 64, ["a", "b"],
+            scale={"a": 2.0, "b": 5.0}, bounds=bounds, distribution=dist))
+        assert x.shape == (64, 2)
+        assert (x[:, 0] >= 0).all() and (x[:, 0] <= 1).all()
+        assert (x[:, 1] >= -2).all() and (x[:, 1] <= 2).all()
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        initialize_walkers(jax.random.PRNGKey(0), {"a": 0.5}, 4, ["a"],
+                           distribution="uniform")
