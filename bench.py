@@ -37,7 +37,7 @@ def build(n_events=1000, n_samples=4096, n_inj=2_000_000, z_res=500):
                             MadauDickinsonRate.create(), gal_cat=EmptyCatalog())
     cat = make_mock_catalog(jax.random.PRNGKey(42), pop, n_events=n_events,
                             n_samples=n_samples, snr_threshold=12.0,
-                            oversample=max(50, 4 * 50_000 // n_events))
+                            oversample=max(100, 4 * 50_000 // n_events))
     inj, n_gen = make_mock_injections(jax.random.PRNGKey(7), pop,
                                       n_generated=n_inj, snr_threshold=12.0)
     z_grids = compute_z_grids(cosmo, cat, cosmo_prior={"H0": [40.0, 120.0]},
