@@ -22,8 +22,10 @@ from typing import ClassVar
 import jax.numpy as jnp
 from jax import Array
 
+import numpy as np
+
 from chimera_tpu import pytree
-from chimera_tpu.ops.chebyshev import chebeval, chebfit_from_table
+from chimera_tpu.ops.chebyshev import cheb_nodes, chebeval, chebfit_from_values
 from chimera_tpu.ops.integrate import cumtrapz
 
 C_LIGHT_KM_S = 299792.458  # km/s
@@ -56,10 +58,13 @@ class FLRW:
     wa: Array = 0.0
     z_grid: Array | None = None
     int_invE: Array | None = None
-    # Chebyshev series in log-log space (uniform *relative* accuracy down to
-    # z ~ 1e-6): log int(1/E) vs log z, and log z vs log dGW.
-    cheb_dc: Array | None = None
-    cheb_zinv: Array | None = None
+    # Chebyshev engine state (f32-conditioned forms — see create()):
+    # G(z) = (1/z) int_0^z dz'/E(z')  — O(1) values, so F = z G keeps uniform
+    # *relative* accuracy at all z without logs in the forward map;
+    # log(z/dgw) vs log dgw          — range ~2.6 (vs ~11 for log z), so the
+    # f32 Clenshaw/input-rounding error stays ~1e-7 on z.
+    cheb_g: Array | None = None
+    cheb_logh: Array | None = None
     dgw_lo: Array | None = None
     dgw_max: Array | None = None
     z_max: float = pytree.static_field(default=10.0)
@@ -93,20 +98,44 @@ class FLRW:
         table = cumtrapz(1.0 / e_at_z(obj, zg), zg)
         obj = pytree.replace(obj, z_grid=zg, int_invE=table)
         if obj.interp_method == "chebyshev":
-            # Project the smooth distance functions onto Chebyshev series in
-            # log-log space so the hot path never gathers AND keeps uniform
-            # relative accuracy near z -> 0 (see ops/chebyshev.py rationale).
-            log_zlo, log_zhi = jnp.log(_Z_LO), jnp.log(obj.z_max)
-            cheb_dc = chebfit_from_table(
-                jnp.log(zg[1:]), jnp.log(table[1:]), log_zlo, log_zhi,
-                obj.cheb_deg)
+            # f32-conditioned Chebyshev engine.  Design constraints (SURVEY
+            # 7.3-1, validated by measurement): (a) every fitted function has
+            # O(1) values — f32 Clenshaw error is absolute (~deg*eps*|f|), so
+            # large-|f| fits (log z spans ~11) cost ~1e-5 while O(1) fits
+            # cost ~1e-7; (b) no dense-table quadrature feeds the fits — an
+            # f32 cumtrapz carries a ~1e-6 systematic that poisons every
+            # downstream weight identically.
+            #
+            # Forward: F(z) = int_0^z 1/E = z * G(z) with
+            # G(z) = int_0^1 1/E(z u) du fitted from Gauss-Legendre
+            # quadrature (positive smooth integrand, no cancellation).
+            gl_x, gl_w = np.polynomial.legendre.leggauss(48)
+            gl_x = jnp.asarray(0.5 * (gl_x + 1.0))     # nodes on (0, 1)
+            gl_w = jnp.asarray(0.5 * gl_w)
+            z_nodes = cheb_nodes(obj.cheb_deg, 0.0, obj.z_max)
+            g_vals = jnp.sum(
+                gl_w[None, :] / e_at_z(obj, z_nodes[:, None] * gl_x[None, :]),
+                axis=-1)
+            cheb_g = chebfit_from_values(g_vals)
+            obj = pytree.replace(obj, cheb_g=cheb_g)
+
+            # Inverse: z = dgw * exp(cheb(log dgw)) fitting log(z / dgw) —
+            # O(2.6) range.  Node redshifts come from 3 Newton refinements of
+            # a table initial guess against the accurate forward map (the
+            # table error only perturbs the starting point).
             dgw_table = _dl_from_table(obj, zg)
             dgw_max = dgw_table[-1]
             dgw_lo = jnp.interp(jnp.asarray(_Z_LO), zg, dgw_table)
-            cheb_zinv = chebfit_from_table(
-                jnp.log(dgw_table[1:]), jnp.log(zg[1:]),
-                jnp.log(dgw_lo), jnp.log(dgw_max), obj.cheb_deg)
-            obj = pytree.replace(obj, cheb_dc=cheb_dc, cheb_zinv=cheb_zinv,
+            d_nodes = jnp.exp(cheb_nodes(obj.cheb_deg, jnp.log(dgw_lo),
+                                         jnp.log(dgw_max)))
+            z_init = jnp.interp(d_nodes, dgw_table, zg)
+            z_n = jnp.clip(z_init, _Z_LO, obj.z_max)
+            for _ in range(3):
+                resid = dl_at_z(obj, z_n) - d_nodes
+                z_n = jnp.clip(z_n - resid / ddl_dz_at_z(obj, z_n),
+                               _Z_LO * 0.5, obj.z_max)
+            cheb_logh = chebfit_from_values(jnp.log(z_n / d_nodes))
+            obj = pytree.replace(obj, cheb_logh=cheb_logh,
                                  dgw_lo=dgw_lo, dgw_max=dgw_max)
         return obj
 
@@ -203,11 +232,12 @@ def _dl_from_table(cosmo: FLRW, zg: Array) -> Array:
 
 def int_inv_e_at_z(cosmo: FLRW, z: Array) -> Array:
     """Cumulative integral of 1/E: Chebyshev evaluation (gather-free hot
-    path) or table lookup (reference semantics, cosmo.py:132)."""
+    path, F(z) = z G(z) with G the fitted running mean of 1/E — uniform
+    relative accuracy at all z) or table lookup (reference semantics,
+    cosmo.py:132)."""
     if cosmo.interp_method == "chebyshev":
-        log_z = jnp.log(jnp.maximum(z, _Z_LO))
-        return jnp.exp(chebeval(cosmo.cheb_dc, log_z,
-                                jnp.log(_Z_LO), jnp.log(cosmo.z_max)))
+        zc = jnp.clip(z, 0.0, cosmo.z_max)
+        return zc * chebeval(cosmo.cheb_g, zc, 0.0, cosmo.z_max)
     return jnp.interp(z, cosmo.z_grid, cosmo.int_invE)
 
 
@@ -293,8 +323,10 @@ def z_from_dgw(cosmo: FLRW, dgw: Array) -> Array:
     zero gathers over the (events x samples) axes.  Both modes clamp
     outside [0, d_GW(z_max)] like ``jnp.interp``."""
     if cosmo.interp_method == "chebyshev":
-        log_d = jnp.log(jnp.maximum(dgw, cosmo.dgw_lo))
-        return jnp.exp(chebeval(cosmo.cheb_zinv, log_d,
-                                jnp.log(cosmo.dgw_lo), jnp.log(cosmo.dgw_max)))
+        d = jnp.clip(dgw, cosmo.dgw_lo, cosmo.dgw_max)
+        log_d = jnp.log(d)
+        return d * jnp.exp(chebeval(
+            cosmo.cheb_logh, log_d,
+            jnp.log(cosmo.dgw_lo), jnp.log(cosmo.dgw_max), clip=False))
     dgw_table = _dl_from_table(cosmo, cosmo.z_grid)
     return jnp.interp(dgw, dgw_table, cosmo.z_grid)

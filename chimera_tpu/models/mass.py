@@ -24,10 +24,11 @@ from typing import ClassVar
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 
 from chimera_tpu import pytree
-from chimera_tpu.ops.chebyshev import chebeval, chebfit_from_table
+from chimera_tpu.ops.chebyshev import cheb_nodes, chebeval, chebfit_from_values
 from chimera_tpu.ops.integrate import cumtrapz, trapz
 
 # ---------------------------------------------------------------------------
@@ -169,22 +170,29 @@ class BaseMassModel:
         """Fit the non-analytic CDF segment: below m_join = m_low + delta_m
         the conditional is window-suppressed (no closed form); above it the
         window is identically 1 and the CDF continues as the exact truncated
-        power law.  The window segment is smooth (the LVK window has an
-        essential zero at m_low), so a short Chebyshev series is exact to
-        f64 round-off."""
+        power law.
+
+        The segment CDF values at the fit nodes come from per-node
+        Gauss-Legendre quadrature, CDF(m) = (m - m_low) * mean(pdf on
+        [m_low, m]) — a positive smooth sum with no long f32 accumulation
+        (a dense cumtrapz carries a ~1e-6 systematic into every weight;
+        SURVEY.md 7.3-1)."""
         delta = getattr(self, "delta_m", 0.0)
         m_join = jnp.clip(self.m_low + jnp.maximum(delta, 1e-6), None,
                           self.m_high)
-        # Dedicated fine quadrature on the window segment (the log-spaced
-        # model grid under-resolves it).  8k nodes keep the trapz error below
-        # ~3e-7 even for wide windows (delta_m ~ 15); the cumtrapz is a
-        # one-off per hyper-sample and costs nothing next to the likelihood.
-        fine = jnp.linspace(self.m_low, m_join, 8192)
-        pdf_fine = self.secondary_conditioned_pdf_unnorm(fine, self.m_high)
-        cdf_fine = cumtrapz(pdf_fine, fine)
-        cheb = chebfit_from_table(fine, cdf_fine, self.m_low, m_join,
-                                  self.window_deg)
-        return pytree.replace(self, m_join=m_join, cdf_at_join=cdf_fine[-1],
+        gl_x, gl_w = np.polynomial.legendre.leggauss(96)
+        gl_x = jnp.asarray(0.5 * (gl_x + 1.0))
+        gl_w = jnp.asarray(0.5 * gl_w)
+        nodes = cheb_nodes(self.window_deg, self.m_low, m_join)
+        span = nodes - self.m_low                        # (K,)
+        m_eval = self.m_low + span[:, None] * gl_x[None, :]
+        pdf = self.secondary_conditioned_pdf_unnorm(m_eval, self.m_high)
+        cdf_nodes = span * jnp.sum(gl_w[None, :] * pdf, axis=-1)
+        cheb = chebfit_from_values(cdf_nodes)
+        cdf_at_join = (m_join - self.m_low) * jnp.sum(
+            gl_w * self.secondary_conditioned_pdf_unnorm(
+                self.m_low + (m_join - self.m_low) * gl_x, self.m_high))
+        return pytree.replace(self, m_join=m_join, cdf_at_join=cdf_at_join,
                               cheb_cdf_window=cheb)
 
     def conditional_cdf_at(self, m1: Array) -> Array:
