@@ -138,3 +138,40 @@ def test_host_galaxies_sharpen_posterior(dark_siren_setup, fiducial_population):
     assert np.isfinite(lp).all() and np.isfinite(ls).all()
     # normalized ranges: pixelated should vary at least as strongly
     assert (lp.max() - lp.min()) > 0.3 * (ls.max() - ls.min())
+
+
+def test_homogeneous_completeness(fiducial_population):
+    """Completed reference completeness.py:73-277: density-ratio P_compl,
+    fR, p_bkg are finite, bounded, and ~1 for a volume-complete catalog."""
+    import jax
+
+    from chimera_tpu.catalog import HomogeneousCompleteness
+    from chimera_tpu.models import cosmology as cf
+
+    pop = fiducial_population
+    cosmo = pop.cosmo
+    # volume-complete mock: density constant in comoving volume over z<0.5
+    key = jax.random.PRNGKey(11)
+    z_hi = 0.5
+    density = 1e4  # per Gpc^3 over a small patch (= 1e-5 per Mpc^3)
+    sky_deg2 = 200.0
+    frac = sky_deg2 * (np.pi / 180.0) ** 2 / (4 * np.pi)
+    v_max = float(cf.comoving_volume(cosmo, jnp.asarray(z_hi)))
+    n_gal = int(density * v_max * frac)
+    u = jax.random.uniform(key, (n_gal,))
+    # sample uniform in comoving volume: invert V(z) by table
+    zt = jnp.linspace(1e-3, z_hi, 2048)
+    vt = cf.comoving_volume(cosmo, zt)
+    z_gal = jnp.interp(u * vt[-1], vt, zt)
+
+    compl = HomogeneousCompleteness.create(
+        z_gal, lambda z: density * 1e-9 * jnp.ones_like(z), cosmo,  # per Mpc^3
+        sky_area_deg2=sky_deg2, z_range=(0.02, z_hi), n_bins=20)
+    zq = jnp.linspace(0.05, 0.45, 30)[None, :]
+    p = np.asarray(compl.P_compl(zq))
+    assert (p >= 0).all() and (p <= 1.0 + 1e-9).all()
+    assert np.median(p) > 0.7  # complete catalog -> completeness ~ 1
+    fr = float(compl.fR(cosmo))
+    assert 0.0 < fr <= 1.0 + 1e-9
+    pb = np.asarray(compl.p_bkg(cosmo, zq))
+    assert np.isfinite(pb).all() and (pb >= 0).all()
