@@ -10,8 +10,12 @@ emcee, SURVEY.md 3.1/7.2-11).  This module provides:
 - leapfrog HMC with jittered trajectory length (Neal 2011), dual-averaging
   step-size adaptation to a target acceptance (Hoffman & Gelman 2014), and
   diagonal mass-matrix (Welford) adaptation during warmup;
-- chains vectorized with vmap — on a mesh, chains shard over the 'params'
-  axis exactly like ensemble walkers.
+- chains evaluated in ONE batched call per leapfrog step
+  (:func:`make_transformed_log_prob_batch`): the chain axis is the fused
+  Pallas kernel's lambda axis, and per-chain gradients come from a single
+  VJP of the summed density — gradient steps run at kernel speed through
+  the kernel's custom VJP instead of per-chain unfused evaluations.  On a
+  mesh, chains shard over the 'params' axis exactly like ensemble walkers.
 
 Everything is one ``lax.scan`` per phase: a full run is three XLA programs
 (warmup, mass-refresh warmup, sampling), regardless of chain count.
@@ -104,6 +108,36 @@ def make_transformed_log_prob(hl, param_names: list[str],
     return log_density, tr
 
 
+def make_transformed_log_prob_batch(hl, param_names: list[str],
+                                    bounds: dict[str, tuple[float, float]],
+                                    extra_log_prior=None):
+    """Batched unconstrained target: (C, D) positions -> (C,) log densities.
+
+    All chains evaluate in ONE ``log_hyperlikelihood_batch`` call, so
+    eligible configurations route through the fused Pallas kernel (its
+    lambda axis IS the chain axis) — gradient steps then pay the fused
+    forward plus one stage-by-stage backward (the kernel's custom VJP)
+    instead of per-chain unfused evaluations."""
+    from chimera_tpu.likelihood import log_hyperlikelihood_batch
+
+    lo = jnp.array([bounds.get(p, (-jnp.inf, jnp.inf))[0] for p in param_names])
+    hi = jnp.array([bounds.get(p, (-jnp.inf, jnp.inf))[1] for p in param_names])
+    tr = Transform(lo, hi)
+
+    def log_density_batch(ys: Array) -> Array:
+        xs = jax.vmap(tr.constrain)(ys)                    # (C, D)
+        lam = {p: xs[:, i] for i, p in enumerate(param_names)}
+        lp = log_hyperlikelihood_batch(hl, lam)
+        if extra_log_prior is not None:
+            lp = lp + jax.vmap(
+                lambda x: extra_log_prior(
+                    {p: x[i] for i, p in enumerate(param_names)}))(xs)
+        lp = jnp.where(jnp.isnan(lp), -jnp.inf, lp)
+        return lp + jax.vmap(tr.log_jacobian)(ys)
+
+    return log_density_batch, tr
+
+
 # ---------------------------------------------------------------------------
 # HMC core
 # ---------------------------------------------------------------------------
@@ -123,46 +157,41 @@ class AdaptState(NamedTuple):
     count: Array
 
 
-def _leapfrog(y, p, grad, eps, inv_mass, log_density_grad, n_steps):
-    """n_steps of leapfrog; returns final (y, p, logp, grad)."""
-    def body(_, carry):
-        y, p, grad = carry
-        p = p + 0.5 * eps * grad
-        y = y + eps * inv_mass * p
-        logp, grad = log_density_grad(y)
-        p = p + 0.5 * eps * grad
-        return (y, p, grad)
+def _batch_value_and_grad(log_density_batch):
+    """(C, D) -> ((C,) values, (C, D) per-chain grads) in ONE batched
+    evaluation: chains are independent, so the VJP of the summed density
+    gives exactly the per-chain gradients — no per-chain vmap of grad, and
+    the fused kernel's lambda axis stays the chain axis."""
+    def vgrad(ys):
+        logp, vjp = jax.vjp(log_density_batch, ys)
+        (grads,) = vjp(jnp.ones_like(logp))
+        return logp, grads
 
-    # half-step structure folded into full steps: standard leapfrog
-    y, p, grad = jax.lax.fori_loop(0, n_steps, body, (y, p, grad))
-    return y, p, grad
+    return vgrad
 
 
 def _hmc_step(key, state: HMCState, eps, inv_mass, n_steps,
-              log_density, max_steps: int):
-    """One jittered-length HMC update for all chains."""
-    vgrad = jax.vmap(jax.value_and_grad(log_density))
+              log_density_batch, max_steps: int):
+    """One jittered-length HMC update for all chains (batched leapfrog)."""
+    vgrad = _batch_value_and_grad(log_density_batch)
     k_mom, k_len, k_acc = jax.random.split(key, 3)
     c, d = state.y.shape
     sqrt_mass = 1.0 / jnp.sqrt(inv_mass)
     p0 = jax.random.normal(k_mom, (c, d)) * sqrt_mass
     # jitter trajectory length uniformly in [1, n_steps] (shared across
-    # chains so the scan stays rectangular)
+    # chains so all chains advance in lock-step batched evaluations)
     L = jax.random.randint(k_len, (), 1, n_steps + 1)
 
-    def one_traj(y, p, grad):
-        def body(i, carry):
-            y, p, grad = carry
-            p = p + 0.5 * eps * grad
-            y = y + eps * inv_mass * p
-            _, grad_new = jax.value_and_grad(log_density)(y)
-            p = p + 0.5 * eps * grad_new
-            return (y, p, grad_new)
+    def body(i, carry):
+        y, p, grad, _ = carry
+        p = p + 0.5 * eps * grad
+        y = y + eps * inv_mass[None, :] * p
+        logp_new, grad_new = vgrad(y)
+        p = p + 0.5 * eps * grad_new
+        return (y, p, grad_new, logp_new)
 
-        return jax.lax.fori_loop(0, L, body, (y, p, grad))
-
-    y1, p1, grad1 = jax.vmap(one_traj)(state.y, p0, state.grad)
-    logp1 = jax.vmap(log_density)(y1)
+    y1, p1, grad1, logp1 = jax.lax.fori_loop(
+        0, L, body, (state.y, p0, state.grad, state.logp))
     ke0 = 0.5 * jnp.sum(inv_mass * p0 * p0, axis=-1)
     ke1 = 0.5 * jnp.sum(inv_mass * p1 * p1, axis=-1)
     log_accept = (logp1 - ke1) - (state.logp - ke0)
@@ -171,9 +200,11 @@ def _hmc_step(key, state: HMCState, eps, inv_mass, n_steps,
     u = jax.random.uniform(k_acc, (c,))
     acc = u < accept_prob
 
+    # the per-branch (y, logp, grad) triples are each self-consistent, so a
+    # select keeps the carry exact with no recomputation
     y = jnp.where(acc[:, None], y1, state.y)
     logp = jnp.where(acc, logp1, state.logp)
-    _, grads = vgrad(y)  # cheap relative to trajectory; keeps carry exact
+    grads = jnp.where(acc[:, None], grad1, state.grad)
     return HMCState(y, logp, grads), accept_prob
 
 
@@ -193,16 +224,22 @@ def _da_update(adapt: AdaptState, accept_mean, step, target, mu,
 def run_hmc(key, log_density: Callable, y0: Array,
             n_warmup: int = 500, n_samples: int = 500,
             n_leapfrog: int = 16, target_accept: float = 0.8,
-            init_step_size: float = 0.1, thin: int = 1):
+            init_step_size: float = 0.1, thin: int = 1,
+            batched: bool = False):
     """Adaptive HMC over (C, D) initial positions (unconstrained space).
 
     Returns (samples (n_samples//thin, C, D), stats dict).  Warmup adapts
     step size (dual averaging) and a diagonal mass matrix (Welford over all
     chains); both freeze for sampling.
+
+    ``batched=True`` declares that ``log_density`` maps (C, D) -> (C,)
+    directly (e.g. from :func:`make_transformed_log_prob_batch`) — the
+    fused-kernel fast path; otherwise it is vmapped per chain.
     """
     y0 = jnp.atleast_2d(y0)
     c, d = y0.shape
-    vgrad = jax.vmap(jax.value_and_grad(log_density))
+    log_density = log_density if batched else jax.vmap(log_density)
+    vgrad = _batch_value_and_grad(log_density)
     logp0, grad0 = vgrad(y0)
     state = HMCState(y0, logp0, grad0)
     mu = jnp.log(10.0 * init_step_size)
@@ -262,15 +299,15 @@ def sample_hyperposterior(key, hl, param_names: list[str],
     """End-to-end: HMC posterior samples of the hyper-parameters.
 
     Returns (samples dict {name: (n_samples, n_chains)}, stats)."""
-    log_density, tr = make_transformed_log_prob(hl, param_names, bounds,
-                                                extra_log_prior)
+    log_density_batch, tr = make_transformed_log_prob_batch(
+        hl, param_names, bounds, extra_log_prior)
     x0 = jnp.array([init[p] for p in param_names])
     y_center = tr.unconstrain(x0)
     k_init, k_run = jax.random.split(key)
     y0 = y_center[None, :] + init_scale * jax.random.normal(
         k_init, (n_chains, len(param_names)))
-    ys, stats = run_hmc(k_run, log_density, y0, n_warmup=n_warmup,
-                        n_samples=n_samples, **hmc_kwargs)
+    ys, stats = run_hmc(k_run, log_density_batch, y0, n_warmup=n_warmup,
+                        n_samples=n_samples, batched=True, **hmc_kwargs)
     xs = jax.vmap(jax.vmap(tr.constrain))(ys)      # (S, C, D)
     samples = {p: xs[:, :, i] for i, p in enumerate(param_names)}
     return samples, stats

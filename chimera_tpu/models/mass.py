@@ -417,14 +417,22 @@ class PowerLawSpline(BaseMassModel):
 
 
 def p_m1m2(mass: BaseMassModel, m1: Array, m2: Array) -> Array:
-    """Normalized joint pdf p(m1) p(m2 | m1) with 0/0 -> 0 guard."""
+    """Normalized joint pdf p(m1) p(m2 | m1) with 0/0 -> 0 guard.
+
+    The degenerate-conditional guard is applied to the *divisor itself*
+    (cdf <= 0 -> divide by 1, then zero the row), not just the quotient: a
+    0/0 division whose NaN is masked afterwards still poisons backward
+    passes (d(p2/cdf)/d(cdf) = NaN times a zero cotangent = NaN), and the
+    hyper-likelihood is differentiated end-to-end (HMC)."""
     p1 = mass.primary_pdf_unnorm(m1) / mass.norm_p_m1
     p21 = mass.secondary_conditioned_pdf_unnorm(m2, m1)
-    p21 = p21 / mass.conditional_cdf_at(m1)
+    cdf = mass.conditional_cdf_at(m1)
+    ok = cdf > 0.0
+    p21 = p21 / jnp.where(ok, cdf, 1.0)
     # Degenerate conditional at m1 -> m_low (zero-width support): the density
     # spikes as 1/(m1 - m_low); define it as 0 like the reference's table
     # clamp does (mass.py:339-340), and scrub inf/0-division artifacts.
-    p21 = jnp.where(m1 > mass.m_low * (1.0 + 1e-9), p21, 0.0)
+    p21 = jnp.where(ok & (m1 > mass.m_low * (1.0 + 1e-9)), p21, 0.0)
     p21 = jnp.where(jnp.isfinite(p21), p21, 0.0)
     return p1 * p21
 

@@ -28,6 +28,7 @@ __all__ = [
     "kde1d_batch",
     "gaussian_kde_nd",
     "gaussian_kde_nd_batch",
+    "gaussian_kde_nd_stream",
     "bw_factor",
 ]
 
@@ -62,14 +63,25 @@ def kde1d_params(dataset: Array, weights: Array | None, bw_method
                  ) -> tuple[Array, Array]:
     """Normalized weights + bandwidth under the reference's conventions
     (math.py:59-75): Kish n_eff of the normalized weights, Scott/Silverman
-    factor times the *unweighted* std.  Batched over leading axes."""
+    factor times the *unweighted* std.  Batched over leading axes.
+
+    Dead rows (all-zero weights — masked-out pixels in the 'marginalized'
+    likelihood) are guarded to FINITE primals: 0/0 normalizations would
+    otherwise inject NaNs whose *backward* pass poisons live gradients
+    (0 * NaN = NaN through the downstream masking selects).  On live rows
+    every guard is an exact no-op; dead rows produce zero weights and a
+    clamped bandwidth, hence zero density — identical post-masking."""
     if weights is None:
         weights = jnp.full(dataset.shape, 1.0 / dataset.shape[-1],
                            dtype=dataset.dtype)
     else:
-        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
-    neff = 1.0 / jnp.sum(jnp.square(weights), axis=-1)
-    h = bw_factor(neff, 1, bw_method) * jnp.std(dataset, axis=-1)
+        sw = jnp.sum(weights, axis=-1, keepdims=True)
+        weights = weights / jnp.where(sw > 0, sw, 1.0)
+    s2 = jnp.sum(jnp.square(weights), axis=-1)
+    neff = 1.0 / jnp.where(s2 > 0, s2, 1.0)
+    tiny = jnp.asarray(jnp.finfo(dataset.dtype).tiny, dataset.dtype)
+    sig = jnp.sqrt(jnp.maximum(jnp.var(dataset, axis=-1), tiny))
+    h = bw_factor(neff, 1, bw_method) * sig
     return weights, h
 
 
@@ -177,6 +189,88 @@ def gaussian_kde_nd(
     return jnp.exp(log_norm) * jnp.sum(
         jnp.exp(-0.5 * chi2) * weights[None, :], axis=-1
     )
+
+
+def gaussian_kde_nd_stream(
+    dataset: Array,
+    points: Array,
+    weights: Array | None = None,
+    bw_method=None,
+    in_log: bool = False,
+    sample_chunk: int = 512,
+) -> Array:
+    """:func:`gaussian_kde_nd` with the sample axis STREAMED in chunks.
+
+    Numerically identical (up to float reduction order) but the (P, S)
+    chi-square matrix is never materialized — peak memory is (P,
+    sample_chunk) per scan step, which keeps the 'full' 3-D likelihood
+    (P = pixels x z-grid ~ 10^4, S ~ 10^3-10^4 samples, batched over
+    events x hyper-lambda) inside HBM at flagship scale.  This is the
+    scalable replacement for the reference's host-side numba escape
+    (CHIMERA/utils/math.py:211-229 entered via io_callback at
+    likelihood.py:256-260).
+    """
+    d, s = dataset.shape
+    if weights is None:
+        weights = jnp.full((s,), 1.0 / s, dtype=dataset.dtype)
+    else:
+        weights = weights / jnp.sum(weights)
+    neff = 1.0 / jnp.sum(jnp.square(weights))
+    factor = bw_factor(neff, d, bw_method)
+
+    cov = _weighted_cov(dataset, weights)
+    inv_cov = jnp.linalg.inv(cov) / (factor * factor)
+    whitening = jnp.linalg.cholesky(inv_cov)
+    pts_w = points.T @ whitening                       # (P, d)
+    data_w = dataset.T @ whitening                     # (S, d)
+    log_norm = jnp.sum(jnp.log(jnp.diag(whitening))) \
+        - 0.5 * d * jnp.log(2 * jnp.pi)
+    p_sq = jnp.sum(pts_w * pts_w, axis=1)              # (P,)
+
+    # pad the sample axis with zero-weight replicas so chunks are exact
+    n_chunks = -(-s // sample_chunk)
+    pad = n_chunks * sample_chunk - s
+    if pad:
+        data_w = jnp.concatenate([data_w, jnp.tile(data_w[:1], (pad, 1))])
+        weights = jnp.concatenate(
+            [weights, jnp.zeros((pad,), weights.dtype)])
+    data_c = data_w.reshape(n_chunks, sample_chunk, d)
+    w_c = weights.reshape(n_chunks, sample_chunk)
+
+    if not in_log:
+        def step(acc, xs):
+            dw, w = xs
+            s_sq = jnp.sum(dw * dw, axis=1)
+            chi2 = p_sq[:, None] + s_sq[None, :] - 2.0 * (pts_w @ dw.T)
+            return acc + jnp.exp(-0.5 * chi2) @ w, None
+
+        acc, _ = jax.lax.scan(step, jnp.zeros_like(p_sq), (data_c, w_c))
+        return jnp.exp(log_norm) * acc
+
+    # streaming logsumexp: carry a running (max, scaled-sum) pair
+    neg_inf = jnp.asarray(-jnp.inf, dataset.dtype)
+    logw_c = jnp.where(w_c > 0, jnp.log(jnp.where(w_c > 0, w_c, 1.0)),
+                       neg_inf)
+
+    def step_log(carry, xs):
+        m, t = carry
+        dw, logw = xs
+        s_sq = jnp.sum(dw * dw, axis=1)
+        chi2 = p_sq[:, None] + s_sq[None, :] - 2.0 * (pts_w @ dw.T)
+        vals = -0.5 * chi2 + logw[None, :]             # (P, Sc)
+        m_c = jnp.max(vals, axis=1)
+        m_new = jnp.maximum(m, m_c)
+        # rescale both the running sum and the chunk onto the new max
+        # (finite-guarded: -inf - -inf would NaN an all-empty row)
+        ok = jnp.isfinite(m_new)
+        scale = jnp.where(ok & jnp.isfinite(m), jnp.exp(m - m_new), 0.0)
+        sub = jnp.where(ok[:, None], vals - m_new[:, None], neg_inf)
+        t_new = t * scale + jnp.sum(jnp.exp(sub), axis=1)
+        return (m_new, t_new), None
+
+    init = (jnp.full_like(p_sq, neg_inf), jnp.zeros_like(p_sq))
+    (m, t), _ = jax.lax.scan(step_log, init, (data_c, logw_c))
+    return log_norm + m + jnp.log(t)
 
 
 def gaussian_kde_nd_batch(

@@ -26,6 +26,7 @@ which are the defaults.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -69,12 +70,18 @@ def _unpack_leaves(refs, treedef, shapes):
 
 def _fused_kernel(*refs, cos_def, cos_shapes, mass_def, mass_shapes,
                   n_cos, n_mass, kernel, bw_method, cut_grid, n_grid,
-                  n_samples, block_s, den_scale, logical_s):
+                  n_samples, block_s, den_scale, logical_s, has_ext_bounds,
+                  stats_only):
     (m1_ref, m2_ref, dl_ref, invprior_ref) = refs[:4]
     n_pe = 4
     zg_ref = None
-    if cut_grid is None:            # analysis-grid mode: grids are an input
+    if cut_grid is None and not has_ext_bounds:
+        # analysis-grid mode: grids are an input
         zg_ref = refs[n_pe]
+        n_pe += 1
+    ext_ref = None
+    if has_ext_bounds:              # externally-supplied [lo, ub] per (l, e)
+        ext_ref = refs[n_pe]
         n_pe += 1
     nreal_ref = dlfill_ref = None
     if logical_s is not None:       # compacted-pixel mode (see below)
@@ -131,7 +138,16 @@ def _fused_kernel(*refs, cos_def, cos_shapes, mass_def, mass_shapes,
 
     # ---- phase B: KDE contraction over sample chunks --------------------
     gp = den_ref.shape[2]
-    if cut_grid is None:
+    if has_ext_bounds:
+        # effective-grid bounds supplied per (lambda, row) — the second pass
+        # of the two-pass 'marginalized'+cut_grid scheme (per-pixel KDE on
+        # the EVENT's effective grid)
+        lo = ext_ref[0, :, 0:1]
+        ub = ext_ref[0, :, 1:2]
+        delta = (ub - lo) / (n_grid - 1)
+        g_idx = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_E, gp), 1)
+        g = lo + delta * g_idx.astype(z.dtype)
+    elif cut_grid is None:
         # evaluate directly on the analysis grids (== XLA path with
         # cut_grid=None): no effective grid, no resampling outside
         lo = jnp.zeros_like(z_min)
@@ -162,28 +178,45 @@ def _fused_kernel(*refs, cos_def, cos_shapes, mass_def, mass_shapes,
             k = jnp.exp(-0.5 * u * u) * (1.0 / _SQRT_2PI)
         return acc + jnp.sum(wc[:, None, :] * k, axis=-1)
 
-    den = jax.lax.fori_loop(0, n_samples // block_s, chunk,
-                            jnp.zeros((_BLOCK_E, gp), z.dtype))
-    if den_scale == "norms":
-        den_ref[0, :, :] = den * (inv_h / s)
+    if stats_only:
+        den_ref[0, :, :] = jnp.zeros((_BLOCK_E, gp), z.dtype)
     else:
-        den_ref[0, :, :] = den * (inv_h / sum_w)
+        den = jax.lax.fori_loop(0, n_samples // block_s, chunk,
+                                jnp.zeros((_BLOCK_E, gp), z.dtype))
+        if den_scale == "norms":
+            den_ref[0, :, :] = den * (inv_h / s)
+        else:
+            den_ref[0, :, :] = den * (inv_h / sum_w)
 
     stats = jnp.concatenate(
         [lo, ub, sum_w / s, neff, h, sum_w, sum_w2, z_sig], axis=-1)
     stats_ref[0, :, :] = stats.astype(z.dtype)
 
 
+class _FusedCfg(NamedTuple):
+    """Static configuration of one fused call (hashable, nondiff)."""
+
+    kernel: str
+    bw_method: object
+    cut_grid: float | None
+    n_grid: int
+    den_scale: str
+    interpret: bool
+    logical_s: int | None
+    stats_only: bool = False
+
+
 @functools.partial(jax.jit, static_argnames=(
     "kernel", "bw_method", "cut_grid", "n_grid", "den_scale", "interpret",
-    "logical_s"))
+    "logical_s", "stats_only"))
 def fused_weights_kde(
     m1det: Array, m2det: Array, dl: Array, inv_pe_prior: Array,
     cosmo_batch, mass_batch, grids: Array | None = None,
     n_real: Array | None = None, dl_fill: Array | None = None,
-    logical_s: int | None = None,
+    logical_s: int | None = None, ext_bounds: Array | None = None,
     kernel: str = "epan", bw_method=None, cut_grid: float | None = 2.0,
     n_grid: int = 250, den_scale: str = "norms", interpret: bool = False,
+    stats_only: bool = False,
 ):
     """Fused hot loop for a hyper-lambda batch.
 
@@ -212,29 +245,162 @@ def fused_weights_kde(
       stats: dict with lo, ub, norms, neff, bandwidth  — each (L, E)
     """
     e, s = dl.shape
-    block_s = next((b for b in (_BLOCK_S, 256, 128) if s % b == 0), None)
-    if block_s is None or e % _BLOCK_E:
+    if s % 128 or e % _BLOCK_E:
         raise ValueError(
             f"shapes must tile: E ({e}) % {_BLOCK_E}, S ({s}) % 128")
-    if (cut_grid is None) != (grids is not None):
+    if ext_bounds is None and (cut_grid is None) != (grids is not None):
         raise ValueError("pass grids exactly when cut_grid is None")
+    if logical_s is not None and (n_real is None or dl_fill is None):
+        raise ValueError("logical_s requires n_real and dl_fill")
+    if grids is not None and ext_bounds is None:
+        n_grid = grids.shape[1]
+    cfg = _FusedCfg(kernel=kernel, bw_method=bw_method, cut_grid=cut_grid,
+                    n_grid=n_grid, den_scale=den_scale, interpret=interpret,
+                    logical_s=logical_s, stats_only=stats_only)
+    return _fused_call(cfg, m1det, m2det, dl, inv_pe_prior,
+                       cosmo_batch, mass_batch, grids, n_real, dl_fill,
+                       ext_bounds)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_call(cfg, m1det, m2det, dl, inv_pe_prior, cosmo_batch, mass_batch,
+                grids, n_real, dl_fill, ext_bounds):
+    return _pallas_impl(cfg, m1det, m2det, dl, inv_pe_prior, cosmo_batch,
+                        mass_batch, grids, n_real, dl_fill, ext_bounds)
+
+
+def _fused_fwd(cfg, *args):
+    return _pallas_impl(cfg, *args), args
+
+
+def _fused_bwd(cfg, residuals, cotangents):
+    """Backward pass: VJP through the pure-XLA reference implementation.
+
+    The Pallas forward stays fused; the backward recomputes stage-by-stage
+    in XLA (a checkpointed recompute — forward residuals are just the primal
+    inputs, nothing fused is saved).  Gradients agree with the XLA path by
+    construction since :func:`_reference_impl` is the kernel's semantics in
+    plain jnp (engine-agreement tested)."""
+    _, vjp = jax.vjp(functools.partial(_reference_impl, cfg), *residuals)
+    return vjp(cotangents)
+
+
+_fused_call.defvjp(_fused_fwd, _fused_bwd)
+
+
+def _reference_impl(cfg: _FusedCfg, m1det, m2det, dl, inv_pe_prior,
+                    cosmo_batch, mass_batch, grids, n_real, dl_fill,
+                    ext_bounds=None):
+    """Pure-XLA implementation of the fused kernel's exact semantics.
+
+    Used as (a) the differentiation path of :func:`fused_weights_kde` and
+    (b) an engine-agreement oracle in the tests.  Mirrors `_fused_kernel`
+    phase by phase."""
+    e, s = dl.shape
+    dt = dl.dtype
+
+    def per_lambda(cosmo, mass, ext):
+        z = cosmo_fns.z_from_dgw(cosmo, dl)                    # (E, S)
+        inv1pz = 1.0 / (1.0 + z)
+        w = p_m1m2(mass, m1det * inv1pz, m2det * inv1pz) * inv_pe_prior
+        sum_w = jnp.sum(w, axis=-1)
+        sum_w2 = jnp.sum(w * w, axis=-1)
+        if cfg.logical_s is None:
+            sl = float(s)
+            z_mean = jnp.mean(z, axis=-1)
+            z_var = jnp.mean((z - z_mean[:, None]) ** 2, axis=-1)
+            z_min = jnp.min(z, axis=-1)
+            z_max = jnp.max(z, axis=-1)
+        else:
+            sl = float(cfg.logical_s)
+            n = n_real.astype(dt)
+            f_pp = float(s) - n                                # fillers present
+            f_log = sl - n                                     # fillers logical
+            zf = cosmo_fns.z_from_dgw(cosmo, dl_fill)
+            sum_z_real = jnp.sum(z, axis=-1) - f_pp * zf
+            z_mean = (sum_z_real + f_log * zf) / sl
+            ss_pp = jnp.sum((z - z_mean[:, None]) ** 2, axis=-1)
+            z_var = (ss_pp + (f_log - f_pp) * (zf - z_mean) ** 2) / sl
+            z_min = jnp.minimum(jnp.min(z, axis=-1), zf)
+            z_max = jnp.maximum(jnp.max(z, axis=-1), zf)
+        # Safe-math variants of the kernel's raw formulas: dead rows (empty
+        # pixels / padded events, sum_w = 0 or z_var = 0) must produce
+        # FINITE primals here, or the VJP poisons live gradients with
+        # 0 * inf = NaN.  On live rows the clamps are exact no-ops; dead-row
+        # forward values land on 0 where the kernel lands on NaN -> both are
+        # scrubbed identically downstream (nan_to_num + masks).
+        tiny = jnp.asarray(jnp.finfo(dt).tiny, dt)
+        z_sig = jnp.sqrt(jnp.maximum(z_var, tiny))
+        neff = sum_w * sum_w / jnp.where(sum_w2 > 0, sum_w2, 1.0)
+        h = bw_factor(jnp.maximum(neff, tiny), 1, cfg.bw_method) * z_sig
+
+        if ext is not None:
+            lo = ext[:, 0]
+            ub = ext[:, 1]
+            delta = (ub - lo) / (cfg.n_grid - 1)
+            idx = jnp.arange(cfg.n_grid, dtype=dt)
+            g = lo[:, None] + delta[:, None] * idx[None, :]
+        elif cfg.cut_grid is None:
+            lo = jnp.zeros((e,), dt)
+            ub = jnp.zeros((e,), dt)
+            g = grids
+        else:
+            lo = jnp.where(z_min - cfg.cut_grid * z_sig > 0.0,
+                           z_min - cfg.cut_grid * z_sig, 1e-8)
+            ub = z_max + cfg.cut_grid * z_sig
+            delta = (ub - lo) / (cfg.n_grid - 1)
+            idx = jnp.arange(cfg.n_grid, dtype=dt)
+            g = lo[:, None] + delta[:, None] * idx[None, :]
+
+        if cfg.stats_only:
+            den = jnp.zeros((e, cfg.n_grid), dt)
+        else:
+            u = (g[:, :, None] - z[:, None, :]) / h[:, None, None]
+            if cfg.kernel == "epan":
+                k = 0.75 * jnp.maximum(0.0, 1.0 - u * u)
+            else:
+                k = jnp.exp(-0.5 * u * u) * (1.0 / _SQRT_2PI)
+            den = jnp.sum(w[:, None, :] * k, axis=-1)
+            denom = sl if cfg.den_scale == "norms" else jnp.maximum(
+                sum_w, tiny)[:, None]
+            den = den / h[:, None] / denom
+        return den, lo, ub, sum_w / sl, neff, h, sum_w, sum_w2
+
+    den, lo, ub, norms, neff, h, sum_w, sum_w2 = jax.vmap(per_lambda)(
+        cosmo_batch, mass_batch, ext_bounds)
+    return den, {"lo": lo, "ub": ub, "norms": norms, "neff": neff,
+                 "bandwidth": h, "sum_w": sum_w, "sum_w2": sum_w2}
+
+
+def _pallas_impl(cfg: _FusedCfg, m1det, m2det, dl, inv_pe_prior,
+                 cosmo_batch, mass_batch, grids, n_real, dl_fill,
+                 ext_bounds=None):
+    e, s = dl.shape
+    kernel, bw_method = cfg.kernel, cfg.bw_method
+    cut_grid, n_grid = cfg.cut_grid, cfg.n_grid
+    den_scale, interpret, logical_s = cfg.den_scale, cfg.interpret, cfg.logical_s
+    block_s = next((b for b in (_BLOCK_S, 256, 128) if s % b == 0), None)
     cos_packed, cos_def, cos_shapes = _pack_leaves(cosmo_batch)
     mass_packed, mass_def, mass_shapes = _pack_leaves(mass_batch)
     L = cos_packed[0].shape[0] if cos_packed else mass_packed[0].shape[0]
-    if grids is not None:
+    if grids is not None and ext_bounds is None:
         n_grid = grids.shape[1]
     gp = _round_up(n_grid, 128)
 
     pe_spec = pl.BlockSpec((_BLOCK_E, s), lambda eb, l: (eb, 0),
                            memory_space=pltpu.VMEM)
     grid_inputs, grid_specs = [], []
-    if grids is not None:
+    if grids is not None and ext_bounds is None:
         # pad grid columns by repeating the endpoint (extra densities are
         # computed at a duplicate abscissa and sliced off)
         gpad = jnp.pad(grids, [(0, 0), (0, gp - n_grid)], mode="edge")
         grid_inputs = [gpad]
         grid_specs = [pl.BlockSpec((_BLOCK_E, gp), lambda eb, l: (eb, 0),
                                    memory_space=pltpu.VMEM)]
+    if ext_bounds is not None:
+        grid_inputs += [ext_bounds.astype(dl.dtype)]
+        grid_specs += [pl.BlockSpec((1, _BLOCK_E, 2), lambda eb, l: (l, eb, 0),
+                                    memory_space=pltpu.VMEM)]
     if logical_s is not None:
         if n_real is None or dl_fill is None:
             raise ValueError("logical_s requires n_real and dl_fill")
@@ -264,7 +430,8 @@ def fused_weights_kde(
         n_cos=len(cos_packed), n_mass=len(mass_packed),
         kernel=kernel, bw_method=bw_method, cut_grid=cut_grid,
         n_grid=n_grid, n_samples=s, block_s=block_s, den_scale=den_scale,
-        logical_s=logical_s)
+        logical_s=logical_s, has_ext_bounds=ext_bounds is not None,
+        stats_only=cfg.stats_only)
 
     den, stats = pl.pallas_call(
         kern,

@@ -34,12 +34,17 @@ DATA_AXIS = "data"
 PARAMS_AXIS = "params"
 
 
-def init_distributed(**kwargs) -> None:
+def init_distributed(require: bool = False, **kwargs) -> None:
     """Multi-host initialization for pod slices (the TPU-native replacement
     for the reference's ``mpirun`` + mpi4py bring-up, parallel.py:5-6 and
     docs/user_guide/hpc_gpu_installation.rst).  On a single host this is a
     no-op; on multi-host deployments call it once before building meshes —
-    coordinator discovery comes from the standard TPU environment."""
+    coordinator discovery comes from the standard TPU environment, or pass
+    ``coordinator_address/num_processes/process_id`` explicitly.
+
+    The 2-process path is exercised for real in tests/test_multihost.py
+    (CPU devices, local coordinator).  ``require=True`` raises instead of
+    silently degrading to single-process when no coordinator is found."""
     import jax
 
     if jax.process_count() > 1:
@@ -47,16 +52,25 @@ def init_distributed(**kwargs) -> None:
     try:
         jax.distributed.initialize(**kwargs)
     except (ValueError, RuntimeError):
+        if require:
+            raise
         # single-process environment (no coordinator configured)
-        pass
 
 
-def make_mesh(params: int = 1, data: int | None = None, devices=None) -> Mesh:
+def make_mesh(params: int = 1, data: int | None = None, devices=None,
+              hybrid: bool = False) -> Mesh:
     """Build a (params x data) 2-D device mesh.
 
     ``data=None`` uses all remaining devices.  With a single device this
     degenerates gracefully to a 1x1 mesh (annotations become no-ops), so the
     same code path runs on one chip and on a pod slice.
+
+    ``hybrid=True`` lays the mesh out for multi-slice deployments: the
+    PARAMS axis rides the slow DCN links between slices (walker batches are
+    embarrassingly parallel — one replicated-lambda broadcast per step) and
+    the DATA axis stays on intra-slice ICI where the per-step psums of the
+    event/injection reductions live (SURVEY.md 5.8).  On a single slice (or
+    CPU) this is identical to the default layout.
     """
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
@@ -66,6 +80,23 @@ def make_mesh(params: int = 1, data: int | None = None, devices=None) -> Mesh:
         data = n // params
     if params * data != n:
         raise ValueError(f"mesh {params}x{data} != {n} devices")
+    if hybrid:
+        slice_ids = sorted({getattr(d, "slice_index", 0)
+                            for d in devices.ravel()})
+        n_slices = len(slice_ids)
+        if n_slices > 1:
+            if params % n_slices:
+                raise ValueError(
+                    f"hybrid mesh needs params ({params}) divisible by the "
+                    f"slice count ({n_slices}) so the params axis maps onto "
+                    "DCN")
+            from jax.experimental import mesh_utils
+
+            dev_arr = mesh_utils.create_hybrid_device_mesh(
+                (params // n_slices, data), (n_slices, 1),
+                devices=list(devices.ravel()))
+            return Mesh(dev_arr.reshape(params, data),
+                        (PARAMS_AXIS, DATA_AXIS))
     return Mesh(devices.reshape(params, data), (PARAMS_AXIS, DATA_AXIS))
 
 
@@ -73,11 +104,18 @@ def make_mesh(params: int = 1, data: int | None = None, devices=None) -> Mesh:
 # Padding to shardable sizes
 # ---------------------------------------------------------------------------
 
-def _pad_axis0(x, n_target: int, fill):
+def _pad_axis0(x, n_target: int, fill=None):
+    """Pad axis 0 to ``n_target``: edge-replication by default (padding rows
+    duplicate the last REAL row, so every primal stays finite and gradients
+    through masked-out rows are clean zeros — constant fillers produce 0/0
+    weight rows whose NaNs leak into backward passes), or a constant
+    ``fill`` where a specific sentinel is required."""
     pad = n_target - x.shape[0]
     if pad == 0:
         return x
     widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+    if fill is None:
+        return jnp.pad(x, widths, mode="edge")
     return jnp.pad(x, widths, constant_values=fill)
 
 
@@ -96,33 +134,45 @@ def pad_events(hl: HyperLikelihood, multiple: int) -> HyperLikelihood:
     n_target = _round_up(nev, multiple)
     if n_target == nev and hl.event_mask is not None:
         return hl
-    mask = jnp.arange(n_target) < nev
+    if hl.event_mask is not None:
+        # already-padded input (e.g. create()'s %8 padding): extend the
+        # existing mask instead of marking old padding rows as real
+        mask = jnp.concatenate(
+            [hl.event_mask, jnp.zeros((n_target - nev,), dtype=bool)])
+    else:
+        mask = jnp.arange(n_target) < nev
 
     def pad_leaf(x):
         if x is None or not hasattr(x, "ndim") or x.ndim == 0:
             return x
         if x.shape[0] != nev:
             return x
-        return _pad_axis0(x, n_target, 1.0)
+        return _pad_axis0(x, n_target)
 
     theta = jax.tree_util.tree_map(pad_leaf, hl.theta_gw)
     z_grids = jax.vmap(lambda i: hl.z_grids[jnp.minimum(i, nev - 1)])(
         jnp.arange(n_target))
     compact = None
     if hl.compact is not None:
-        # padded events: zero-weight fillers everywhere (n_real = 0)
-        compact = {
-            "m1det": _pad_axis0(hl.compact["m1det"], n_target, 1.0),
-            "m2det": _pad_axis0(hl.compact["m2det"], n_target, 1.0),
-            "dL": _pad_axis0(hl.compact["dL"], n_target, 1.0),
-            "inv_pe_prior": _pad_axis0(hl.compact["inv_pe_prior"],
-                                       n_target, 0.0),
-            "n_real": _pad_axis0(hl.compact["n_real"], n_target, 0),
-            "dl_fill": _pad_axis0(hl.compact["dl_fill"], n_target, 1.0),
-        }
+        # padded events duplicate the last real event's rows (finite
+        # kernels and gradients; excluded from reductions by the mask)
+        compact = {k: _pad_axis0(v, n_target) for k, v in hl.compact.items()}
+    population = hl.population
+    gal_cat = getattr(population, "gal_cat", None)
+    if gal_cat is not None and getattr(gal_cat, "pixelated", False):
+        # the pixelated catalog prior carries event-indexed leaves too —
+        # pad them in lock-step (explicit fields, not tree_map: the nested
+        # completeness model owns tables whose length could coincide with
+        # the event count)
+        updates = {f: _pad_axis0(getattr(gal_cat, f), n_target)
+                   for f in ("p_cat", "P_compl", "pixel_mask", "n_gal")
+                   if getattr(gal_cat, f, None) is not None}
+        population = pytree.replace(
+            population, gal_cat=pytree.replace(gal_cat, **updates))
     # reuse real z-grids for padding rows (monotone grids keep trapz sane)
     return pytree.replace(hl, theta_gw=theta, z_grids=z_grids,
-                          event_mask=mask, compact=compact)
+                          event_mask=mask, compact=compact,
+                          population=population)
 
 
 def pad_injections(sel: SelectionFunction, multiple: int) -> SelectionFunction:

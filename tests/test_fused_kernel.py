@@ -91,7 +91,8 @@ def dark_hl(fiducial_population):
 
 @pytest.mark.parametrize("kind,cut_grid", [("approximate", 2.0),
                                            ("approximate", None),
-                                           ("marginalized", None)])
+                                           ("marginalized", None),
+                                           ("marginalized", 2.0)])
 def test_fused_pixelated_matches_vmap(dark_hl, kind, cut_grid):
     theta, z_grids, pop_pix, sel = dark_hl
     hl = HyperLikelihood.create(theta, z_grids, pop_pix, sel, kind=kind,
@@ -102,6 +103,32 @@ def test_fused_pixelated_matches_vmap(dark_hl, kind, cut_grid):
     got = np.asarray(_log_hyperlikelihood_batch_fused(hl, {"H0": h0s}))
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got, expect, rtol=1e-8)
+
+
+@pytest.mark.parametrize("kind,cut_grid", [("approximate", 2.0),
+                                           ("marginalized", None),
+                                           ("marginalized", 2.0)])
+def test_fused_pixelated_grad_matches_vmap(dark_hl, kind, cut_grid):
+    """Custom-VJP gradients through the dark-siren fused paths (incl. the
+    two-pass marginalized+cut_grid chain) match the XLA path."""
+    theta, z_grids, pop_pix, sel = dark_hl
+    hl = HyperLikelihood.create(theta, z_grids, pop_pix, sel, kind=kind,
+                                binning=False, cut_grid=cut_grid)
+
+    def loss_fused(h0):
+        return jnp.sum(_log_hyperlikelihood_batch_fused(
+            hl, {"H0": jnp.stack([h0, h0 + 3.0])}))
+
+    hl_x = pytree.replace(hl, kde_engine="xla")
+
+    def loss_xla(h0):
+        return jnp.sum(log_hyperlikelihood_batch(
+            hl_x, {"H0": jnp.stack([h0, h0 + 3.0])}))
+
+    gf = float(jax.grad(loss_fused)(72.0))
+    gx = float(jax.grad(loss_xla)(72.0))
+    assert np.isfinite(gf)
+    np.testing.assert_allclose(gf, gx, rtol=1e-6)
 
 
 def test_compaction_partitions_samples(dark_hl):

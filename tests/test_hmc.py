@@ -65,6 +65,7 @@ def test_hmc_bounded_target():
     np.testing.assert_allclose(xs.mean(), 2.0 / 5.0, atol=0.05)  # Beta(2,3)
 
 
+@pytest.mark.slow
 def test_hyperposterior_hmc_smoke(fiducial_population, mock_catalog,
                                   mock_injections, mock_z_grids):
     from chimera_tpu import HyperLikelihood, SelectionFunction

@@ -105,6 +105,7 @@ def test_checkpoint_roundtrip(tmp_path):
                                np.asarray(s_full.coords), rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_end_to_end_h0_sampling(fiducial_population, mock_catalog,
                                 mock_injections, mock_z_grids):
     """Short MCMC over H0 on the mock spectral-siren likelihood: walkers

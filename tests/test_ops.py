@@ -162,3 +162,22 @@ def test_interp_batch():
     expect = [[np.interp(0.55, np.asarray(xp[0]), np.asarray(fp[0]))],
               [np.interp(1.1, np.asarray(xp[1]), np.asarray(fp[1]))]]
     np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-12)
+
+
+def test_gaussian_kde_nd_stream_matches_dense():
+    """Sample-streaming formulation (scalable 'full' 3-D path, round-2
+    item 4): identical to the dense one up to reduction order."""
+    from chimera_tpu.ops.kde import gaussian_kde_nd_stream
+
+    data = jax.random.normal(jax.random.PRNGKey(13), (3, 700))
+    w = jax.random.uniform(jax.random.PRNGKey(14), (700,)) + 0.05
+    pts = jax.random.normal(jax.random.PRNGKey(15), (3, 450))
+    dense = gaussian_kde_nd(data, pts, weights=w)
+    stream = gaussian_kde_nd_stream(data, pts, weights=w, sample_chunk=128)
+    np.testing.assert_allclose(np.asarray(stream), np.asarray(dense),
+                               rtol=1e-12)
+    dense_log = gaussian_kde_nd(data, pts, weights=w, in_log=True)
+    stream_log = gaussian_kde_nd_stream(data, pts, weights=w, in_log=True,
+                                        sample_chunk=128)
+    np.testing.assert_allclose(np.asarray(stream_log), np.asarray(dense_log),
+                               atol=1e-12)
