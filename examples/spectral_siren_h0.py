@@ -44,35 +44,50 @@ from chimera_tpu.models import (
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--events", type=int, default=100)
-    ap.add_argument("--samples", type=int, default=1024)
-    ap.add_argument("--injections", type=int, default=200_000)
-    ap.add_argument("--z-res", type=int, default=300)
+    ap.add_argument("--config", type=str,
+                    default=str(pathlib.Path(__file__).parent
+                                / "spectral_siren.toml"),
+                    help="TOML run configuration (chimera_tpu.runconfig)")
+    ap.add_argument("--events", type=int, default=None,
+                    help="override [data].events")
     ap.add_argument("--hmc", action="store_true", help="also run HMC")
     args = ap.parse_args()
 
-    # --- population at the fiducial cosmology (H0 = 70) -------------------
-    cosmo = FLRW.create(H0=70.0, Om0=0.25)
-    pop = Population.create(cosmo, PowerLawPeak.create(),
-                            MadauDickinsonRate.create(),
-                            gal_cat=EmptyCatalog())
+    from chimera_tpu.runconfig import (
+        RunConfig,
+        build_likelihood,
+        build_population,
+        cosmo_prior,
+        prior_bounds,
+    )
+
+    cfg = RunConfig.load(args.config)
+    if args.events is not None:
+        cfg.data["events"] = args.events
+
+    # --- population at the fiducial cosmology (from [cosmology] etc.) -----
+    pop = build_population(cfg, gal_cat=EmptyCatalog())
 
     # --- mock data (replace with data.io loaders for real catalogs) -------
-    theta = make_mock_catalog(jax.random.PRNGKey(1), pop,
-                              n_events=args.events, n_samples=args.samples,
-                              snr_threshold=12.0)
-    inj, n_gen = make_mock_injections(jax.random.PRNGKey(2), pop,
-                                      n_generated=args.injections,
-                                      snr_threshold=12.0)
-    z_grids = compute_z_grids(cosmo, theta,
-                              cosmo_prior={"H0": [40.0, 120.0]},
-                              z_int_res=args.z_res)
-    hl = HyperLikelihood.create(theta, z_grids, pop,
-                                SelectionFunction.create(inj, n_gen),
-                                binning=False, cut_grid=None)
+    seed = int(cfg.data.get("seed", 1))
+    theta = make_mock_catalog(
+        jax.random.PRNGKey(seed), pop,
+        n_events=int(cfg.data.get("events", 100)),
+        n_samples=int(cfg.data.get("samples", 1024)), snr_threshold=12.0)
+    inj, n_gen = make_mock_injections(
+        jax.random.PRNGKey(seed + 1), pop,
+        n_generated=int(cfg.data.get("injections", 200_000)),
+        snr_threshold=12.0)
+    z_grids = compute_z_grids(pop.cosmo, theta,
+                              cosmo_prior=cosmo_prior(cfg),
+                              z_int_res=int(cfg.data.get("z_int_res", 300)))
+    hl = build_likelihood(cfg, theta, z_grids, pop,
+                          SelectionFunction.create(inj, n_gen))
 
     # --- 1-D H0 scan -------------------------------------------------------
-    h0s = jnp.linspace(45.0, 115.0, 71)
+    bounds = prior_bounds(cfg)
+    h0_lo, h0_hi = bounds.get("H0", (40.0, 120.0))
+    h0s = jnp.linspace(h0_lo + 5.0, h0_hi - 5.0, 71)
     t0 = time.perf_counter()
     lls = np.asarray(hl.log_like_batch({"H0": h0s}))
     jax.block_until_ready(lls)
@@ -81,12 +96,15 @@ def main():
           f"{dt / len(h0s) * 1e3:.2f} ms per evaluation (incl. compile)")
 
     # --- ensemble MCMC -----------------------------------------------------
-    logp = make_vector_log_prob(hl, ["H0"], bounds={"H0": (40.0, 120.0)})
-    walkers = initialize_walkers(jax.random.PRNGKey(3), {"H0": 75.0}, 32,
-                                 ["H0"], scale={"H0": 10.0},
-                                 bounds={"H0": (40.0, 120.0)})
-    state, hist = run(init_state(jax.random.PRNGKey(4), walkers, logp),
-                      logp, n_steps=300, thin=10)
+    n_walkers = int(cfg.sampler.get("n_walkers", 32))
+    n_steps = int(cfg.sampler.get("n_steps", 300))
+    thin = int(cfg.sampler.get("thin", 10))
+    logp = make_vector_log_prob(hl, ["H0"], bounds={"H0": (h0_lo, h0_hi)})
+    walkers = initialize_walkers(jax.random.PRNGKey(seed + 2), {"H0": 75.0},
+                                 n_walkers, ["H0"], scale={"H0": 10.0},
+                                 bounds={"H0": (h0_lo, h0_hi)})
+    state, hist = run(init_state(jax.random.PRNGKey(seed + 3), walkers, logp),
+                      logp, n_steps=n_steps, thin=thin)
     samp = np.asarray(hist["coords"][5:]).ravel()
     print(f"ensemble: H0 = {np.median(samp):.1f} "
           f"[{np.percentile(samp, 16):.1f}, {np.percentile(samp, 84):.1f}] "

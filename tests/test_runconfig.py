@@ -1,0 +1,93 @@
+"""Run-level TOML configuration (chimera_tpu.runconfig)."""
+
+import jax
+import numpy as np
+import pytest
+
+from chimera_tpu.runconfig import (
+    RunConfig,
+    build_likelihood,
+    build_population,
+    cosmo_prior,
+    prior_bounds,
+)
+
+TOML = """
+[cosmology]
+model = "flrw"
+H0 = 67.0
+Om0 = 0.31
+
+[mass]
+model = "plp"
+mu_g = 33.0
+
+[rate]
+model = "power_law"
+gamma = 2.0
+
+[population]
+scale_free = true
+
+[likelihood]
+binning = false
+
+[prior.H0]
+range = [40.0, 120.0]
+
+[prior.Om0]
+range = [0.05, 0.95]
+
+[sampler]
+kind = "ensemble"
+n_walkers = 8
+"""
+
+
+@pytest.fixture()
+def cfg(tmp_path):
+    p = tmp_path / "run.toml"
+    p.write_text(TOML)
+    return RunConfig.load(str(p))
+
+
+def test_load_and_build_population(cfg):
+    pop = build_population(cfg)
+    assert float(pop.cosmo.H0) == 67.0
+    assert float(pop.mass.mu_g) == 33.0
+    assert float(pop.rate.gamma) == 2.0
+    assert pop.scale_free
+
+
+def test_priors(cfg):
+    b = prior_bounds(cfg)
+    assert b["H0"] == (40.0, 120.0)
+    cp = cosmo_prior(cfg)
+    assert cp == {"H0": [40.0, 120.0], "Om0": [0.05, 0.95]}
+
+
+def test_build_likelihood_end_to_end(cfg, mock_catalog, mock_injections,
+                                     mock_z_grids):
+    from chimera_tpu import SelectionFunction
+
+    pop = build_population(cfg)
+    inj, n_gen = mock_injections
+    hl = build_likelihood(cfg, mock_catalog, mock_z_grids, pop,
+                          SelectionFunction.create(inj, n_gen))
+    assert not hl.binning
+    val = float(hl.log_like(H0=70.0))
+    assert np.isfinite(val)
+
+
+def test_unknown_section_rejected(tmp_path):
+    p = tmp_path / "bad.toml"
+    p.write_text("[nonsense]\nx = 1\n")
+    with pytest.raises(ValueError, match="unknown config sections"):
+        RunConfig.load(str(p))
+
+
+def test_unknown_model_rejected(tmp_path):
+    p = tmp_path / "bad2.toml"
+    p.write_text('[mass]\nmodel = "nope"\n')
+    with pytest.raises(ValueError, match="mass.model"):
+        build_population(RunConfig.load(str(p)))
