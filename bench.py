@@ -51,15 +51,16 @@ def build(n_events=1000, n_samples=4096, n_inj=2_000_000, z_res=500):
 
 
 def _time_batch(hl, batch=16, n_rep=5):
-    from chimera_tpu.likelihood import log_hyperlikelihood_batch
-
+    # NOTE: evaluate through the library's jitted entry point, which takes
+    # the HyperLikelihood pytree as an ARGUMENT — closure-capturing it
+    # would bake the PE/injection arrays into the program as constants and
+    # blow the tunneled backend's compile-request size limit.
     h0s = jnp.linspace(55.0, 95.0, batch)
-    fn = jax.jit(lambda b: log_hyperlikelihood_batch(hl, {"H0": b}))
-    jax.block_until_ready(fn(h0s))  # compile + warmup
+    jax.block_until_ready(hl.log_like_batch({"H0": h0s}))  # compile + warmup
     best = float("inf")
     for _ in range(n_rep):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(h0s))
+        jax.block_until_ready(hl.log_like_batch({"H0": h0s}))
         best = min(best, time.perf_counter() - t0)
     return best / batch * 1e3
 
@@ -122,15 +123,22 @@ def suite_mesh():
     """Weak-scaling row: events+injections sharded over an 8-device mesh
     (virtual CPU devices unless 8 real chips exist).  Run:
     BENCH_MESH=1 python bench.py."""
-    import numpy as np
+    import os
 
-    if jax.local_device_count() < 8:
-        import os
+    # Provision BEFORE any backend use: probing the device count would
+    # initialize the default (single-chip) backend and lock the platform.
+    try:
+        from jax._src import xla_bridge as _xb
 
+        initialized = _xb.backends_are_initialized()
+    except Exception:  # pragma: no cover
+        initialized = True
+    if not initialized:
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                    + " --xla_force_host_platform_device_count=8").strip()
         jax.config.update("jax_platforms", "cpu")
-    from chimera_tpu.likelihood import log_hyperlikelihood_batch
+    if jax.local_device_count() < 8:
+        raise SystemExit("BENCH_MESH needs 8 devices; run in a fresh process")
     from chimera_tpu.parallel import make_mesh
     from chimera_tpu.parallel.mesh import (log_like_batch_sharded,
                                            shard_hyperlikelihood)
@@ -138,10 +146,9 @@ def suite_mesh():
     hl = build(n_events=1000, n_samples=1024, n_inj=500_000, z_res=500)
     h0s = jnp.linspace(55.0, 95.0, 8)
 
-    fn1 = jax.jit(lambda b: log_hyperlikelihood_batch(hl, {"H0": b}))
-    jax.block_until_ready(fn1(h0s))
+    jax.block_until_ready(hl.log_like_batch({"H0": h0s}))
     t0 = time.perf_counter()
-    jax.block_until_ready(fn1(h0s))
+    jax.block_until_ready(hl.log_like_batch({"H0": h0s}))
     t_single = time.perf_counter() - t0
 
     mesh = make_mesh(params=1, data=8)
