@@ -118,7 +118,13 @@ def make_transformed_log_prob_batch(hl, param_names: list[str],
     lambda axis IS the chain axis) — gradient steps then pay the fused
     forward plus one stage-by-stage backward (the kernel's custom VJP)
     instead of per-chain unfused evaluations."""
+    from chimera_tpu import pytree
     from chimera_tpu.likelihood import log_hyperlikelihood_batch
+
+    # HMC differentiates hyper-parameters only, so the fused path may use
+    # the adjoint Pallas kernel for its backward (PE-data cotangents are
+    # not needed and come back as zeros under this engine).
+    hl = pytree.replace(hl, grad_engine="pallas")
 
     lo = jnp.array([bounds.get(p, (-jnp.inf, jnp.inf))[0] for p in param_names])
     hi = jnp.array([bounds.get(p, (-jnp.inf, jnp.inf))[1] for p in param_names])

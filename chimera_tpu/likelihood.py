@@ -79,6 +79,11 @@ class HyperLikelihood:
     pe_neff: float = pytree.static_field(default=2.0)
     # 'auto': Pallas kernel on TPU backends, fused XLA elsewhere.
     kde_engine: str = pytree.static_field(default="auto")
+    # Gradient engine for the fused path: 'xla' (default — correct for every
+    # input) or 'pallas' (adjoint kernel: fast hyper-lambda gradients;
+    # PE-data cotangents are zeros — only samplers differentiating
+    # hyper-parameters should set this; HMC does, automatically).
+    grad_engine: str = pytree.static_field(default="xla")
 
     name: ClassVar[str] = "hyperlikelihood"
 
@@ -588,7 +593,7 @@ def _fused_batch_eventwise(hl: HyperLikelihood, pop_b) -> Array:
         grids=None if hl.cut_grid is not None else hl.z_grids,
         kernel=hl.kernel, bw_method=hl.bw_method, cut_grid=hl.cut_grid,
         n_grid=hl.z_int_res // 2, den_scale="norms",
-        interpret=not _on_tpu(), **pad_kwargs)
+        interpret=not _on_tpu(), bwd=hl.grad_engine, **pad_kwargs)
     gate = stats["neff"] >= hl.pe_neff
 
     def per_lambda(pop, den_l, lo, ub, gate_l):

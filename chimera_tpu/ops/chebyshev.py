@@ -62,26 +62,118 @@ def chebfit_from_fn(fn, a, b, n: int) -> Array:
     return chebfit_from_values(fn(cheb_nodes(n, a, b)))
 
 
-def chebeval(coeffs: Array, x: Array, a, b, clip: bool = True) -> Array:
-    """Evaluate the series at ``x`` via Clenshaw recurrence (pure VPU math).
+def _clenshaw(coeffs: Array, t: Array) -> Array:
+    """Unrolled Clenshaw recurrence on normalized t in [-1, 1].
 
-    ``clip=True`` clamps x into [a, b] — matching ``jnp.interp``'s edge
-    behavior (the reference relies on this clamping for out-of-range
-    distances, cosmo.py:260-264).
-    """
-    if clip:
-        x = jnp.clip(x, a, b)
-    t = (2.0 * x - (a + b)) / (b - a)
+    Unrolled because a lax.fori_loop would carry two x-shaped arrays
+    through ~64 iterations — on TPU each iteration round-trips the carries
+    through HBM (x is the (events x samples) hot axis, so that is GBs of
+    traffic).  Unrolled, the whole recurrence is one fused elementwise
+    chain that XLA keeps in registers."""
     t2 = 2.0 * t
     n = coeffs.shape[0]
-
-    # Unrolled Clenshaw: a lax.fori_loop would carry two x-shaped arrays
-    # through ~64 iterations — on TPU each iteration round-trips the carries
-    # through HBM (x is the (events x samples) hot axis, so that is GBs of
-    # traffic).  Unrolled, the whole recurrence is one fused elementwise
-    # chain that XLA keeps in registers.
     b1 = jnp.zeros_like(t)
     b2 = jnp.zeros_like(t)
     for i in range(n - 1):
         b1, b2 = t2 * b1 - b2 + coeffs[n - 1 - i], b1
     return t * b1 - b2 + coeffs[0]
+
+
+def _chebeval_bwd_core(coeffs, x, a, b, clip, ct):
+    """Analytic VJP of the series evaluation.
+
+    JAX's own transpose of the unrolled Clenshaw produces one scatter-add
+    per coefficient read — unsupported inside Pallas TPU kernels (Mosaic
+    has no 1-D scatter layout) and slow in XLA.  Analytically:
+      d/dc_k   = sum(ct * T_k(t))                (forward T recurrence)
+      d/dx     = ct * S'(t) * 2/(b-a)            (derivative series via U)
+      d/da,d/db through t = (2x-(a+b))/(b-a):
+                 dt/da = (t-1)/(b-a), dt/db = -(t+1)/(b-a)
+    Clipped points have t pinned at +-1, so every partial vanishes there
+    (one-sided boundary, measure zero)."""
+    n = coeffs.shape[0]
+    xc = jnp.clip(x, a, b) if clip else x
+    span = b - a
+    t = (2.0 * xc - (a + b)) / span
+    if clip:
+        active = (x > a) & (x < b)
+        ct_t = jnp.where(active, ct, 0.0)
+    else:
+        ct_t = ct
+
+    # T_k and U_k forward recurrences; accumulate coefficient projections
+    # and the derivative series S'(t) = sum_k k c_k U_{k-1}(t).
+    # Projections are kept (1, 1)-shaped and concatenated on the last axis:
+    # Mosaic (Pallas TPU) cannot lay out a stack of rank-0 scalars into a
+    # 1-D vector, and this bwd runs inside the fused adjoint kernel.
+    g = [jnp.sum(ct).reshape(1, 1)]        # d/dc_0 (T_0 = 1; clip-independent)
+    t_km1 = jnp.ones_like(t)
+    t_k = t
+    u_km1 = jnp.ones_like(t)               # U_0
+    dS = coeffs[1] * u_km1 if n > 1 else jnp.zeros_like(t)
+    if n > 1:
+        g.append(jnp.sum(ct * t_k).reshape(1, 1))
+    u_k = 2.0 * t                          # U_1
+    for k in range(2, n):
+        t_kp = 2.0 * t * t_k - t_km1
+        g.append(jnp.sum(ct * t_kp).reshape(1, 1))
+        dS = dS + coeffs[k] * k * u_k          # U_{k-1} == u_k at this point
+        t_km1, t_k = t_k, t_kp
+        u_km1, u_k = u_k, 2.0 * t * u_k - u_km1
+    dcoeffs = jnp.concatenate(g, axis=1).astype(coeffs.dtype).reshape(
+        coeffs.shape)
+
+    dt = ct_t * dS
+    dx = dt * (2.0 / span)
+    da = jnp.sum(dt * (t - 1.0) / span)
+    db = jnp.sum(dt * (-(t + 1.0)) / span)
+    return dcoeffs, dx, da, db
+
+
+@jax.custom_vjp
+def _chebeval_clip(coeffs: Array, x: Array, a, b) -> Array:
+    xc = jnp.clip(x, a, b)
+    t = (2.0 * xc - (a + b)) / (b - a)
+    return _clenshaw(coeffs, t)
+
+
+def _chebeval_clip_fwd(coeffs, x, a, b):
+    return _chebeval_clip(coeffs, x, a, b), (coeffs, x, a, b)
+
+
+def _chebeval_clip_bwd(res, ct):
+    return _chebeval_bwd_core(*res, True, ct)
+
+
+_chebeval_clip.defvjp(_chebeval_clip_fwd, _chebeval_clip_bwd)
+
+
+@jax.custom_vjp
+def _chebeval_noclip(coeffs: Array, x: Array, a, b) -> Array:
+    t = (2.0 * x - (a + b)) / (b - a)
+    return _clenshaw(coeffs, t)
+
+
+def _chebeval_noclip_fwd(coeffs, x, a, b):
+    return _chebeval_noclip(coeffs, x, a, b), (coeffs, x, a, b)
+
+
+def _chebeval_noclip_bwd(res, ct):
+    return _chebeval_bwd_core(*res, False, ct)
+
+
+_chebeval_noclip.defvjp(_chebeval_noclip_fwd, _chebeval_noclip_bwd)
+
+
+def chebeval(coeffs: Array, x: Array, a, b, clip: bool = True) -> Array:
+    """Evaluate the series at ``x`` via Clenshaw recurrence (pure VPU math).
+
+    ``clip=True`` clamps x into [a, b] — matching ``jnp.interp``'s edge
+    behavior (the reference relies on this clamping for out-of-range
+    distances, cosmo.py:260-264).  Carries an analytic custom VJP
+    (scatter-free — required inside Pallas kernels, faster in XLA)."""
+    a = jnp.asarray(a, dtype=jnp.result_type(x))
+    b = jnp.asarray(b, dtype=jnp.result_type(x))
+    if clip:
+        return _chebeval_clip(coeffs, x, a, b)
+    return _chebeval_noclip(coeffs, x, a, b)

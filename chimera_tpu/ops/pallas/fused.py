@@ -204,11 +204,18 @@ class _FusedCfg(NamedTuple):
     interpret: bool
     logical_s: int | None
     stats_only: bool = False
+    # 'xla': backward differentiates the reference implementation (correct
+    # for EVERY input).  'pallas': adjoint Pallas kernel — fast hyper-lambda
+    # gradients (cosmology/mass leaves); cotangents for the PE data / grids
+    # are returned as ZEROS (documented contract: used by samplers that
+    # differentiate hyper-parameters only).  Falls back to 'xla' for modes
+    # the adjoint kernel does not cover.
+    bwd: str = "xla"
 
 
 @functools.partial(jax.jit, static_argnames=(
     "kernel", "bw_method", "cut_grid", "n_grid", "den_scale", "interpret",
-    "logical_s", "stats_only"))
+    "logical_s", "stats_only", "bwd"))
 def fused_weights_kde(
     m1det: Array, m2det: Array, dl: Array, inv_pe_prior: Array,
     cosmo_batch, mass_batch, grids: Array | None = None,
@@ -216,7 +223,7 @@ def fused_weights_kde(
     logical_s: int | None = None, ext_bounds: Array | None = None,
     kernel: str = "epan", bw_method=None, cut_grid: float | None = 2.0,
     n_grid: int = 250, den_scale: str = "norms", interpret: bool = False,
-    stats_only: bool = False,
+    stats_only: bool = False, bwd: str = "xla",
 ):
     """Fused hot loop for a hyper-lambda batch.
 
@@ -256,7 +263,7 @@ def fused_weights_kde(
         n_grid = grids.shape[1]
     cfg = _FusedCfg(kernel=kernel, bw_method=bw_method, cut_grid=cut_grid,
                     n_grid=n_grid, den_scale=den_scale, interpret=interpret,
-                    logical_s=logical_s, stats_only=stats_only)
+                    logical_s=logical_s, stats_only=stats_only, bwd=bwd)
     return _fused_call(cfg, m1det, m2det, dl, inv_pe_prior,
                        cosmo_batch, mass_batch, grids, n_real, dl_fill,
                        ext_bounds)
@@ -274,15 +281,28 @@ def _fused_fwd(cfg, *args):
 
 
 def _fused_bwd(cfg, residuals, cotangents):
-    """Backward pass: VJP through the pure-XLA reference implementation.
+    """Backward pass.
 
-    The Pallas forward stays fused; the backward recomputes stage-by-stage
-    in XLA (a checkpointed recompute — forward residuals are just the primal
-    inputs, nothing fused is saved).  Gradients agree with the XLA path by
-    construction since :func:`_reference_impl` is the kernel's semantics in
-    plain jnp (engine-agreement tested)."""
+    Default ('xla'): VJP through the pure-XLA reference implementation —
+    the Pallas forward stays fused; the backward recomputes stage-by-stage
+    in XLA (a checkpointed recompute — forward residuals are just the
+    primal inputs, nothing fused is saved).  Gradients agree with the XLA
+    path by construction since :func:`_reference_impl` is the kernel's
+    semantics in plain jnp (engine-agreement tested).
+
+    Opt-in ('pallas', analysis-grid eventwise mode only): an adjoint Pallas
+    kernel computes the hyper-lambda gradients (cosmology/mass pytree
+    leaves) fused on-chip; PE-data/grids cotangents come back as zeros
+    (samplers differentiate hyper-parameters only)."""
+    if cfg.bwd == "pallas" and _adjoint_supported(cfg):
+        return _adjoint_impl(cfg, residuals, cotangents)
     _, vjp = jax.vjp(functools.partial(_reference_impl, cfg), *residuals)
     return vjp(cotangents)
+
+
+def _adjoint_supported(cfg: _FusedCfg) -> bool:
+    return (cfg.cut_grid is None and cfg.logical_s is None
+            and not cfg.stats_only and cfg.kernel in ("epan", "gauss"))
 
 
 _fused_call.defvjp(_fused_fwd, _fused_bwd)
@@ -370,6 +390,247 @@ def _reference_impl(cfg: _FusedCfg, m1det, m2det, dl, inv_pe_prior,
         cosmo_batch, mass_batch, ext_bounds)
     return den, {"lo": lo, "ub": ub, "norms": norms, "neff": neff,
                  "bandwidth": h, "sum_w": sum_w, "sum_w2": sum_w2}
+
+
+# ---------------------------------------------------------------------------
+# Adjoint kernel (fast hyper-lambda gradients)
+# ---------------------------------------------------------------------------
+
+def _adjoint_kernel(*refs, cos_def, cos_shapes, mass_def, mass_shapes,
+                    n_cos, n_mass, kernel, bw_method, den_scale,
+                    n_samples, block_s, n_grid):
+    """Adjoint of the analysis-grid eventwise forward: given cotangents for
+    (den, stats), accumulate gradients w.r.t. the cosmology/mass leaves.
+
+    Grid layout is (lambda OUTER, event-block INNER) — the per-lambda leaf
+    gradient blocks stay resident while the event blocks sweep, so
+    accumulation across blocks is a read-modify-write on VMEM."""
+    (m1_ref, m2_ref, dl_ref, invp_ref, g_ref, cd_ref, cs_ref) = refs[:7]
+    cos_refs = refs[7:7 + n_cos]
+    mass_refs = refs[7 + n_cos:7 + n_cos + n_mass]
+    gcos_refs = refs[7 + n_cos + n_mass:7 + 2 * n_cos + n_mass]
+    gmass_refs = refs[7 + 2 * n_cos + n_mass:7 + 2 * (n_cos + n_mass)]
+    z_scr, w_scr, dz_scr, dw_scr = refs[7 + 2 * (n_cos + n_mass):]
+
+    eb = pl.program_id(1)
+
+    cos_vals = [r[0, 0, :] for r in cos_refs]
+    mass_vals = [r[0, 0, :] for r in mass_refs]
+
+    def phase_a(cvals, mvals, m1, m2, dl_in, invp):
+        cosmo = tree_unflatten(cos_def, [
+            v.reshape(s) if s else v[0] for v, s in zip(cvals, cos_shapes)])
+        mass = tree_unflatten(mass_def, [
+            v.reshape(s) if s else v[0] for v, s in zip(mvals, mass_shapes)])
+        z = cosmo_fns.z_from_dgw(cosmo, dl_in)
+        inv1pz = 1.0 / (1.0 + z)
+        w = p_m1m2(mass, m1 * inv1pz, m2 * inv1pz) * invp
+        return z, w
+
+    m1 = m1_ref[...]
+    m2 = m2_ref[...]
+    dl = dl_ref[...]
+    invp = invp_ref[...]
+    (z, w), phase_a_vjp = jax.vjp(
+        lambda cv, mv: phase_a(cv, mv, m1, m2, dl, invp),
+        cos_vals, mass_vals)
+    z_scr[...] = z
+    w_scr[...] = w
+    dt = z.dtype
+    tiny = jnp.asarray(jnp.finfo(dt).tiny, dt)
+
+    # ---- forward row statistics (same safe math as _reference_impl) ------
+    s = float(n_samples)
+    sum_w = jnp.sum(w, axis=-1, keepdims=True)                 # (E, 1)
+    sum_w2 = jnp.sum(w * w, axis=-1, keepdims=True)
+    z_mean = jnp.mean(z, axis=-1, keepdims=True)
+    z_var = jnp.mean((z - z_mean) ** 2, axis=-1, keepdims=True)
+    z_sig = jnp.sqrt(jnp.maximum(z_var, tiny))
+    sum_w2_safe = jnp.where(sum_w2 > 0, sum_w2, 1.0)
+    neff = sum_w * sum_w / sum_w2_safe
+    neff_safe = jnp.maximum(neff, tiny)
+    if bw_method is None or bw_method == "scott":
+        bw = jnp.exp(-0.2 * jnp.log(neff_safe))
+        dbw_dneff = -0.2 * bw / neff_safe
+    elif bw_method == "silverman":
+        bw = jnp.exp(-0.2 * jnp.log(neff_safe * 0.75))
+        dbw_dneff = -0.2 * bw / neff_safe
+    else:
+        bw = jnp.full_like(neff, float(bw_method))
+        dbw_dneff = jnp.zeros_like(neff)
+    h = bw * z_sig
+    inv_h = 1.0 / h
+    g = g_ref[...]                                             # (E, Gp)
+    cd = cd_ref[0, :, :]                                       # (E, Gp)
+    denom = s if den_scale == "norms" else jnp.maximum(sum_w, tiny)
+    c1 = cd * (inv_h / denom)                                  # (E, Gp)
+
+    # ---- adjoint of the KDE contraction, streamed over sample chunks -----
+    e_blk, gp = cd.shape
+
+    g_tile = min(gp, 256)
+
+    def chunk(i, carry):
+        # (E, Sc, Gt) orientation, grid axis split into 256-lane tiles:
+        # each temporary is E*Sc*Gt*4B (~1 MB) and ~5 are live per tile —
+        # the whole working set stays inside the 16 MB scoped-VMEM budget.
+        # (Sc is 128: lane-aligned dynamic slices of the (E, S) scratch;
+        # the event block must stay 8 for sublane divisibility.)
+        r_acc, t_acc = carry
+        sl = pl.ds(i * block_s, block_s)
+        zc = z_scr[:, sl]                                      # (E, Sc)
+        wc = w_scr[:, sl]
+        dw_c = jnp.zeros((e_blk, block_s), dt)
+        dz_c = jnp.zeros((e_blk, block_s), dt)
+        t_c = jnp.zeros((e_blk, 1), dt)
+        r_pieces = []
+        for gh in range(gp // g_tile):
+            gsl = slice(gh * g_tile, (gh + 1) * g_tile)
+            gg = g[:, gsl]                                     # (E, Gt)
+            c1g = c1[:, gsl]
+            u = (gg[:, None, :] - zc[:, :, None]) * inv_h[:, None, :]
+            if kernel == "epan":
+                inside = (u > -1.0) & (u < 1.0)
+                k = jnp.where(inside, 0.75 * (1.0 - u * u), 0.0)
+                kp = jnp.where(inside, -1.5 * u, 0.0)
+            else:
+                k = jnp.exp(-0.5 * u * u) * (1.0 / _SQRT_2PI)
+                kp = -u * k
+            du = (c1g[:, None, :] * wc[:, :, None]) * kp       # (E, Sc, Gt)
+            dw_c = dw_c + jnp.sum(c1g[:, None, :] * k, axis=2)
+            dz_c = dz_c - inv_h[:, 0:1] * jnp.sum(du, axis=2)
+            r_pieces.append(jnp.sum(wc[:, :, None] * k, axis=1))
+            # two-stage reduction keeps intermediates >= rank 2 (Mosaic)
+            t_c = t_c + jnp.sum(jnp.sum(du * u, axis=2), axis=1,
+                                keepdims=True)
+        dw_scr[:, sl] = dw_c
+        dz_scr[:, sl] = dz_c
+        r_acc = r_acc + jnp.concatenate(r_pieces, axis=1)      # (E, Gp)
+        return (r_acc, t_acc + t_c)
+
+    r_tot, t_tot = jax.lax.fori_loop(
+        0, n_samples // block_s, chunk,
+        (jnp.zeros((e_blk, gp), dt), jnp.zeros((e_blk, 1), dt)))
+
+    # ---- scalar chains ---------------------------------------------------
+    ct_norms = cs_ref[0, :, 2:3]
+    ct_neff = cs_ref[0, :, 3:4]
+    ct_h = cs_ref[0, :, 4:5]
+    ct_sw = cs_ref[0, :, 5:6]
+    ct_sw2 = cs_ref[0, :, 6:7]
+
+    cd_r = jnp.sum(cd * r_tot, axis=-1, keepdims=True)         # (E, 1)
+    d_invh = cd_r / denom + t_tot / inv_h
+    dh = ct_h - inv_h * inv_h * d_invh
+    d_sum_w_extra = jnp.zeros_like(sum_w)
+    if den_scale != "norms":
+        den_row = r_tot * (inv_h / denom)
+        d_sum_w_extra = -jnp.sum(cd * den_row, axis=-1, keepdims=True) \
+            / jnp.maximum(sum_w, tiny)
+    ct_neff_tot = ct_neff + dh * z_sig * dbw_dneff
+    d_sum_w = (ct_sw + ct_norms / s + d_sum_w_extra
+               + ct_neff_tot * 2.0 * sum_w / sum_w2_safe)
+    d_sum_w2 = ct_sw2 - ct_neff_tot * neff / sum_w2_safe
+    dz_sig = dh * bw
+    dz_var = jnp.where(z_var > tiny, dz_sig * 0.5 / z_sig, 0.0)
+
+    dz_total = dz_scr[...] + dz_var * 2.0 * (z - z_mean) / s
+    dw_total = dw_scr[...] + d_sum_w + 2.0 * w * d_sum_w2
+
+    dcos, dmass = phase_a_vjp((dz_total, dw_total))
+
+    @pl.when(eb == 0)
+    def _init():
+        for ref in gcos_refs + gmass_refs:
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    for ref, grad in zip(gcos_refs, dcos):
+        ref[...] += grad.reshape(ref.shape)
+    for ref, grad in zip(gmass_refs, dmass):
+        ref[...] += grad.reshape(ref.shape)
+
+
+def _adjoint_impl(cfg: _FusedCfg, residuals, cotangents):
+    """Run the adjoint kernel; package cotangents for _fused_call's args."""
+    (m1det, m2det, dl, inv_pe_prior, cosmo_batch, mass_batch,
+     grids, n_real, dl_fill, ext_bounds) = residuals
+    ct_den, ct_stats = cotangents
+    e, s = dl.shape
+    # Sc must be a multiple of 128 (lane-aligned dynamic slices of the
+    # (E, S) scratch); VMEM pressure is controlled by tiling the grid axis
+    # inside the chunk body instead (see _adjoint_kernel).
+    block_s = 128
+    cos_packed, cos_def, cos_shapes = _pack_leaves(cosmo_batch)
+    mass_packed, mass_def, mass_shapes = _pack_leaves(mass_batch)
+    L = cos_packed[0].shape[0] if cos_packed else mass_packed[0].shape[0]
+    n_grid = grids.shape[1]
+    gp = _round_up(n_grid, 128)
+
+    gpad = jnp.pad(grids, [(0, 0), (0, gp - n_grid)], mode="edge")
+    cd = jnp.pad(jnp.asarray(ct_den, dl.dtype),
+                 [(0, 0), (0, 0), (0, gp - n_grid)])  # zero-pad: no ct there
+    # stats cotangent layout mirrors the forward's 8-slot concat
+    cs = jnp.stack([
+        jnp.zeros_like(ct_stats["lo"]),   # lo/ub are constants in this mode
+        jnp.zeros_like(ct_stats["ub"]),
+        ct_stats["norms"], ct_stats["neff"], ct_stats["bandwidth"],
+        ct_stats["sum_w"], ct_stats["sum_w2"],
+        jnp.zeros_like(ct_stats["lo"]),
+    ], axis=-1).astype(dl.dtype)                               # (L, E, 8)
+
+    e_blk = _BLOCK_E
+    pe_spec = pl.BlockSpec((e_blk, s), lambda l, eb: (eb, 0),
+                           memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((e_blk, gp), lambda l, eb: (eb, 0),
+                          memory_space=pltpu.VMEM)
+    cd_spec = pl.BlockSpec((1, e_blk, gp), lambda l, eb: (l, eb, 0),
+                           memory_space=pltpu.VMEM)
+    cs_spec = pl.BlockSpec((1, e_blk, 8), lambda l, eb: (l, eb, 0),
+                           memory_space=pltpu.VMEM)
+    leaf_specs = [
+        pl.BlockSpec((1, 1, p.shape[-1]), lambda l, eb: (l, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for p in cos_packed + mass_packed
+    ]
+    out_shape = [jax.ShapeDtypeStruct(p.shape, dl.dtype)
+                 for p in cos_packed + mass_packed]
+    out_specs = [
+        pl.BlockSpec((1, 1, p.shape[-1]), lambda l, eb: (l, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for p in cos_packed + mass_packed
+    ]
+
+    kern = functools.partial(
+        _adjoint_kernel, cos_def=cos_def, cos_shapes=cos_shapes,
+        mass_def=mass_def, mass_shapes=mass_shapes,
+        n_cos=len(cos_packed), n_mass=len(mass_packed),
+        kernel=cfg.kernel, bw_method=cfg.bw_method, den_scale=cfg.den_scale,
+        n_samples=s, block_s=block_s, n_grid=n_grid)
+
+    grads = pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        grid=(L, e // e_blk),              # lambda outer: grad blocks resident
+        in_specs=[pe_spec] * 4 + [g_spec, cd_spec, cs_spec] + leaf_specs,
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((e_blk, s), dl.dtype)] * 4,
+        interpret=cfg.interpret,
+    )(m1det, m2det, dl, inv_pe_prior, gpad, cd, cs, *cos_packed,
+      *mass_packed)
+
+    n_cos = len(cos_packed)
+    cos_leaves, _ = tree_flatten(cosmo_batch)
+    mass_leaves, _ = tree_flatten(mass_batch)
+    dcos = tree_unflatten(cos_def, [
+        g.reshape(leaf.shape).astype(leaf.dtype)
+        for g, leaf in zip(grads[:n_cos], cos_leaves)])
+    dmass = tree_unflatten(mass_def, [
+        g.reshape(leaf.shape).astype(leaf.dtype)
+        for g, leaf in zip(grads[n_cos:], mass_leaves)])
+
+    zeros = jax.tree_util.tree_map(jnp.zeros_like,
+                                   (m1det, m2det, dl, inv_pe_prior))
+    return (*zeros, dcos, dmass, jnp.zeros_like(grids), None, None, None)
 
 
 def _pallas_impl(cfg: _FusedCfg, m1det, m2det, dl, inv_pe_prior,

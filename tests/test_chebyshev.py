@@ -107,3 +107,40 @@ def test_uniform_interp_matches_jnp():
     expect = jnp.interp(x, xp, fp, left=0.0, right=0.0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_chebeval_custom_vjp_matches_numerical():
+    """chebeval's analytic custom VJP (scatter-free, required inside Pallas
+    kernels) against centered finite differences in every argument."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    n = 12
+    coeffs = jnp.asarray(rng.normal(size=n))
+    x = jnp.asarray(rng.uniform(0.31, 1.9, size=17))
+    a, b = 0.3, 2.0
+
+    def f(c, xx, aa, bb):
+        return jnp.sum(jnp.sin(chebeval(c, xx, aa, bb)) ** 2)
+
+    gc, gx, ga, gb = jax.grad(f, argnums=(0, 1, 2, 3))(
+        coeffs, x, jnp.asarray(a), jnp.asarray(b))
+    eps = 1e-6
+    for i in [0, 1, 5, n - 1]:
+        e = jnp.zeros(n).at[i].set(eps)
+        num = (f(coeffs + e, x, a, b) - f(coeffs - e, x, a, b)) / (2 * eps)
+        np.testing.assert_allclose(float(gc[i]), float(num), rtol=1e-5,
+                                   atol=1e-9)
+    e = jnp.zeros(17).at[3].set(eps)
+    num = (f(coeffs, x + e, a, b) - f(coeffs, x - e, a, b)) / (2 * eps)
+    np.testing.assert_allclose(float(gx[3]), float(num), rtol=1e-5)
+    num = (f(coeffs, x, a + eps, b) - f(coeffs, x, a - eps, b)) / (2 * eps)
+    np.testing.assert_allclose(float(ga), float(num), rtol=1e-5)
+    num = (f(coeffs, x, a, b + eps) - f(coeffs, x, a, b - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(gb), float(num), rtol=1e-5)
+    # clipped points: value still depends on coeffs, not on x
+    x_out = jnp.asarray([0.1, 2.5])
+    gxo = jax.grad(lambda xx: jnp.sum(chebeval(coeffs, xx, a, b)))(x_out)
+    np.testing.assert_allclose(np.asarray(gxo), 0.0, atol=1e-12)
+    gco = jax.grad(lambda c: jnp.sum(chebeval(c, x_out, a, b)))(coeffs)
+    assert float(jnp.abs(gco).max()) > 0.0

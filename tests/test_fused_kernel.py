@@ -48,6 +48,26 @@ def test_fused_multi_param(spectral_hl):
     np.testing.assert_allclose(got, expect, rtol=1e-8)
 
 
+def test_adjoint_bwd_matches_xla_bwd(spectral_hl):
+    """The adjoint Pallas backward (grad_engine='pallas', the HMC fast
+    path) produces the same hyper-lambda gradients as the XLA backward."""
+    hl = pytree.replace(spectral_hl, cut_grid=None, kde_engine="fused")
+
+    def loss(hl_, h0):
+        batch = {"H0": jnp.stack([h0, h0 + 2.0]),
+                 "Om0": jnp.array([0.25, 0.30]),
+                 "mu_g": jnp.array([34.0, 33.0])}
+        return jnp.sum(log_hyperlikelihood_batch(hl_, batch))
+
+    for wrt, val in (("H0-direction", 70.0),):
+        gx = jax.grad(lambda v: loss(
+            pytree.replace(hl, grad_engine="xla"), v))(val)
+        gp = jax.grad(lambda v: loss(
+            pytree.replace(hl, grad_engine="pallas"), v))(val)
+        assert np.isfinite(float(gp))
+        np.testing.assert_allclose(float(gp), float(gx), rtol=1e-10)
+
+
 def test_fused_respects_event_mask(spectral_hl):
     """Padding events (zero mask) must not change the result."""
     from chimera_tpu.parallel import pad_events
