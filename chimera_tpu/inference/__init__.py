@@ -1,7 +1,9 @@
 """Inference drivers: ensemble MCMC, gradient-based HMC, checkpointing."""
 
 from chimera_tpu.inference.hmc import (
+    continue_hmc,
     make_transformed_log_prob,
+    make_transformed_log_prob_batch,
     run_hmc,
     sample_hyperposterior,
 )
@@ -16,15 +18,21 @@ from chimera_tpu.inference.ensemble import (
 from chimera_tpu.inference.checkpoint import (
     latest_chain_file,
     load_chain,
+    load_hmc,
     load_state,
     next_chain_file,
     save_chain,
+    save_hmc,
 )
 
 __all__ = [
+    "continue_hmc",
     "make_transformed_log_prob",
+    "make_transformed_log_prob_batch",
     "run_hmc",
     "sample_hyperposterior",
+    "save_hmc",
+    "load_hmc",
     "EnsembleState",
     "init_state",
     "initialize_walkers",

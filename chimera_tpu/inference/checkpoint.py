@@ -82,3 +82,42 @@ def load_chain(path: str) -> dict:
         return {"chain": f["chain"][:], "log_prob": f["log_prob"][:],
                 "param_names": [s if isinstance(s, str) else s.decode()
                                 for s in f.attrs["param_names"]]}
+
+
+# ---------------------------------------------------------------------------
+# HMC checkpoints (post-warmup state + adapted quantities + PRNG key)
+# ---------------------------------------------------------------------------
+
+def save_hmc(path: str, samples, stats: dict, key,
+             param_names: Iterable[str]) -> None:
+    """Checkpoint an HMC run: thinned samples, the final chain state, the
+    frozen adaptation (step size, inverse mass), and the next PRNG key —
+    everything :func:`chimera_tpu.inference.hmc.continue_hmc` needs."""
+    state = stats["final_state"]
+    with h5py.File(path, "w") as f:
+        f.attrs["param_names"] = list(param_names)
+        f.create_dataset("samples", data=np.asarray(samples))
+        f.create_dataset("log_prob", data=np.asarray(stats["log_prob"]))
+        g = f.create_group("state")
+        g.create_dataset("y", data=np.asarray(state.y))
+        g.create_dataset("logp", data=np.asarray(state.logp))
+        g.create_dataset("grad", data=np.asarray(state.grad))
+        g.create_dataset("step_size", data=np.asarray(stats["step_size"]))
+        g.create_dataset("inv_mass", data=np.asarray(stats["inv_mass"]))
+        g.create_dataset("key", data=np.asarray(key))
+
+
+def load_hmc(path: str):
+    """(state, step_size, inv_mass, key, param_names) from a checkpoint."""
+    from chimera_tpu.inference.hmc import HMCState
+
+    with h5py.File(path, "r") as f:
+        names = [s if isinstance(s, str) else s.decode()
+                 for s in f.attrs["param_names"]]
+        g = f["state"]
+        state = HMCState(y=jnp.asarray(g["y"][:]),
+                         logp=jnp.asarray(g["logp"][:]),
+                         grad=jnp.asarray(g["grad"][:]))
+        return (state, jnp.asarray(g["step_size"][()]),
+                jnp.asarray(g["inv_mass"][:]), jnp.asarray(g["key"][:]),
+                names)

@@ -296,6 +296,32 @@ def run_hmc(key, log_density: Callable, y0: Array,
     return ys[sel], stats
 
 
+def continue_hmc(key, log_density: Callable, state: HMCState,
+                 step_size, inv_mass, n_samples: int = 500,
+                 n_leapfrog: int = 16, thin: int = 1,
+                 batched: bool = False):
+    """Continue sampling from a saved post-warmup state (no re-adaptation).
+
+    Use with :func:`chimera_tpu.inference.checkpoint.save_hmc` /
+    ``load_hmc`` — the TPU-native analog of the reference's emcee chain
+    restart (emcee_utils.py:130-152) for the gradient-based sampler."""
+    log_density = log_density if batched else jax.vmap(log_density)
+    eps = jnp.asarray(step_size)
+    inv_mass = jnp.asarray(inv_mass)
+
+    def sample_body(state, key_i):
+        new_state, acc = _hmc_step(key_i, state, eps, inv_mass,
+                                   n_leapfrog, log_density, n_leapfrog)
+        return new_state, (new_state.y, new_state.logp, acc)
+
+    keys = jax.random.split(key, n_samples)
+    state, (ys, logps, accs) = jax.lax.scan(sample_body, state, keys)
+    sel = slice(thin - 1, None, thin)
+    stats = {"step_size": eps, "inv_mass": inv_mass, "accept": accs,
+             "log_prob": logps[sel], "final_state": state}
+    return ys[sel], stats
+
+
 def sample_hyperposterior(key, hl, param_names: list[str],
                           bounds: dict[str, tuple[float, float]],
                           init: dict[str, float],

@@ -84,3 +84,37 @@ def test_hyperposterior_hmc_smoke(fiducial_population, mock_catalog,
     assert (h0 > 40.0).all() and (h0 < 120.0).all()
     # chains moved and stayed in a plausible region
     assert h0.std() > 0.0
+
+
+def test_hmc_checkpoint_resume(tmp_path):
+    """save_hmc/load_hmc/continue_hmc: a split run equals its state chain
+    (the gradient-sampler analog of the ensemble's numbered-file restart)."""
+    from chimera_tpu.inference import continue_hmc, load_hmc, save_hmc
+
+    cov = jnp.array([[1.0, 0.3], [0.3, 0.5]])
+    prec = jnp.linalg.inv(cov)
+
+    def logp(y):
+        return -0.5 * y @ prec @ y
+
+    y0 = jnp.zeros((4, 2))
+    ys, stats = run_hmc(jax.random.PRNGKey(0), logp, y0,
+                        n_warmup=100, n_samples=50, n_leapfrog=6)
+    key_next = jax.random.PRNGKey(99)
+    f = str(tmp_path / "hmc_0.h5")
+    save_hmc(f, ys, stats, key_next, ["a", "b"])
+
+    state, eps, inv_mass, key, names = load_hmc(f)
+    assert names == ["a", "b"]
+    np.testing.assert_allclose(np.asarray(state.y),
+                               np.asarray(stats["final_state"].y))
+    np.testing.assert_allclose(float(eps), float(stats["step_size"]))
+
+    ys2, stats2 = continue_hmc(key, logp, state, eps, inv_mass,
+                               n_samples=50, n_leapfrog=6)
+    assert ys2.shape == (50, 4, 2)
+    assert np.isfinite(np.asarray(stats2["log_prob"])).all()
+    # resuming twice from the same checkpoint is deterministic
+    ys3, _ = continue_hmc(key, logp, state, eps, inv_mass,
+                          n_samples=50, n_leapfrog=6)
+    np.testing.assert_allclose(np.asarray(ys2), np.asarray(ys3))
