@@ -123,21 +123,11 @@ def suite_mesh():
     """Weak-scaling row: events+injections sharded over an 8-device mesh
     (virtual CPU devices unless 8 real chips exist).  Run:
     BENCH_MESH=1 python bench.py."""
-    import os
+    from chimera_tpu.utils.devices import ensure_virtual_devices
 
     # Provision BEFORE any backend use: probing the device count would
     # initialize the default (single-chip) backend and lock the platform.
-    try:
-        from jax._src import xla_bridge as _xb
-
-        initialized = _xb.backends_are_initialized()
-    except Exception:  # pragma: no cover
-        initialized = True
-    if not initialized:
-        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                                   + " --xla_force_host_platform_device_count=8").strip()
-        jax.config.update("jax_platforms", "cpu")
-    if jax.local_device_count() < 8:
+    if not ensure_virtual_devices(8):
         raise SystemExit("BENCH_MESH needs 8 devices; run in a fresh process")
     from chimera_tpu.parallel import make_mesh
     from chimera_tpu.parallel.mesh import (log_like_batch_sharded,

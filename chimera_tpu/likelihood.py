@@ -90,7 +90,8 @@ class HyperLikelihood:
     @classmethod
     def create(cls, theta_gw, z_grids, population, selection=None, kind=None,
                kernel="epan", bw_method=None, cut_grid=2.0, binning=True,
-               num_bins=200, pe_neff=2.0, kde_engine="auto") -> "HyperLikelihood":
+               num_bins=200, pe_neff=2.0, kde_engine="auto",
+               grad_engine="xla") -> "HyperLikelihood":
         theta_gw = theta_gw.with_derived()
         if theta_gw.pixelated:
             # '1d' may be requested explicitly to ignore pixelation (e.g. a
@@ -117,7 +118,8 @@ class HyperLikelihood:
                  population=population, selection=selection, kind=kind,
                  kernel=kernel, bw_method=bw_method, cut_grid=cut_grid,
                  binning=binning, num_bins=num_bins, pe_neff=pe_neff,
-                 kde_engine=kde_engine, compact=compact,
+                 kde_engine=kde_engine, grad_engine=grad_engine,
+                 compact=compact,
                  n_samples_real=n_samples_real,
                  n_events_input=n_events_input)
         if not binning and hl.n_events % 8:
@@ -286,8 +288,9 @@ def _fused_eligible(hl: HyperLikelihood) -> bool:
         # evaluates on those bounds (ext_bounds mode).
         if hl.compact is None:
             return False
-        if hl.cut_grid is not None and tgw.m1det.shape[1] % 128 != 0:
-            return False  # pass 1 runs on the full event sample axis
+        if hl.cut_grid is not None and (
+                tgw.m1det.shape[1] % 128 != 0 or tgw.m1det.shape[0] % 8 != 0):
+            return False  # pass 1 runs on the full (E, S) event arrays
         e, p, s_pp = hl.compact["m1det"].shape
         return (e * p) % 8 == 0 and s_pp % 128 == 0
     return False

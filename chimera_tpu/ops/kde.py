@@ -126,6 +126,19 @@ def kde1d_batch(
     return fn(dataset, grid, weights)
 
 
+def _safe_norm_weights(weights: Array | None, s: int, dtype) -> Array:
+    """Unit-mass weights with the dead-row guard of :func:`kde1d_params`:
+    an all-zero weight vector (fully-gated event under an extreme
+    hyper-lambda) falls back to uniform weights so every primal downstream
+    (covariance, Cholesky, density) stays finite — the forward value is
+    masked out by the N_eff gate either way, and finite primals keep the
+    VJP free of 0 * NaN poisoning."""
+    if weights is None:
+        return jnp.full((s,), 1.0 / s, dtype=dtype)
+    sw = jnp.sum(weights)
+    return jnp.where(sw > 0, weights / jnp.where(sw > 0, sw, 1.0), 1.0 / s)
+
+
 def _weighted_cov(dataset: Array, weights: Array) -> Array:
     """Weighted covariance with the reference's small-sample correction
     (CHIMERA/utils/math.py:125-128): divide by ``1 - sum(w^2)``."""
@@ -160,10 +173,7 @@ def gaussian_kde_nd(
       (P,) density (or log-density) values.
     """
     d, s = dataset.shape
-    if weights is None:
-        weights = jnp.full((s,), 1.0 / s, dtype=dataset.dtype)
-    else:
-        weights = weights / jnp.sum(weights)
+    weights = _safe_norm_weights(weights, s, dataset.dtype)
     neff = 1.0 / jnp.sum(jnp.square(weights))
     factor = bw_factor(neff, d, bw_method)
 
@@ -211,10 +221,7 @@ def gaussian_kde_nd_stream(
     likelihood.py:256-260).
     """
     d, s = dataset.shape
-    if weights is None:
-        weights = jnp.full((s,), 1.0 / s, dtype=dataset.dtype)
-    else:
-        weights = weights / jnp.sum(weights)
+    weights = _safe_norm_weights(weights, s, dataset.dtype)
     neff = 1.0 / jnp.sum(jnp.square(weights))
     factor = bw_factor(neff, d, bw_method)
 

@@ -468,7 +468,10 @@ def _adjoint_kernel(*refs, cos_def, cos_shapes, mass_def, mass_shapes,
     # ---- adjoint of the KDE contraction, streamed over sample chunks -----
     e_blk, gp = cd.shape
 
-    g_tile = min(gp, 256)
+    # gp is always a multiple of 128 but not necessarily of 256 (e.g.
+    # n_grid=300 -> gp=384): pick the largest tile that divides it exactly,
+    # or the full loop would drop the tail columns.
+    g_tile = 256 if gp % 256 == 0 else 128
 
     def chunk(i, carry):
         # (E, Sc, Gt) orientation, grid axis split into 256-lane tiles:

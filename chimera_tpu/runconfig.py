@@ -24,7 +24,8 @@ Example (examples/spectral_siren.toml)::
     [likelihood]
     kind = "1d"
     binning = false
-    z_int_res = 300
+    # (keys here are HyperLikelihood.create kwargs; grid resolution etc.
+    # belong in [data] — see examples/spectral_siren.toml)
 
     [prior.H0]
     range = [40.0, 120.0]

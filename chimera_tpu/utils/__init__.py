@@ -1,5 +1,7 @@
-"""Utilities: magnitudes, profiling, plotting (matplotlib-gated)."""
+"""Utilities: magnitudes, profiling, device provisioning, plotting
+(matplotlib-gated)."""
 
+from chimera_tpu.utils.devices import ensure_virtual_devices
 from chimera_tpu.utils.mags import (
     absolute_magnitude,
     apparent_magnitude,
@@ -10,6 +12,7 @@ from chimera_tpu.utils.mags import (
 from chimera_tpu.utils.profiling import StageTimer, compile_time, device_trace
 
 __all__ = [
+    "ensure_virtual_devices",
     "mag2lum",
     "lum2mag",
     "absolute_magnitude",

@@ -112,9 +112,10 @@ def main():
 
     # --- HMC (gradient-based; the likelihood is differentiable) -----------
     if args.hmc:
+        hmc_params = [p for p in ("H0", "Om0") if p in bounds] or ["H0"]
         samples, stats = sample_hyperposterior(
-            jax.random.PRNGKey(5), hl, ["H0", "Om0"],
-            bounds={"H0": (40.0, 120.0), "Om0": (0.05, 0.95)},
+            jax.random.PRNGKey(seed + 4), hl, hmc_params,
+            bounds={p: bounds.get(p, (40.0, 120.0)) for p in hmc_params},
             init={"H0": 75.0, "Om0": 0.3}, n_chains=4,
             n_warmup=200, n_samples=300)
         h0 = np.asarray(samples["H0"])[50:]

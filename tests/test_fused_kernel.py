@@ -48,6 +48,32 @@ def test_fused_multi_param(spectral_hl):
     np.testing.assert_allclose(got, expect, rtol=1e-8)
 
 
+def test_adjoint_bwd_odd_grid_width(fiducial_population, mock_catalog,
+                                    mock_injections):
+    """Regression: grid widths whose 128-padding is not a multiple of 256
+    (e.g. z_int_res=300 -> gp=384) must tile correctly in the adjoint."""
+    from chimera_tpu.models import compute_z_grids
+
+    theta_inj, n_inj = mock_injections
+    z_grids = compute_z_grids(fiducial_population.cosmo, mock_catalog,
+                              cosmo_prior={"H0": [30.0, 150.0]},
+                              z_int_res=300)
+    sel = SelectionFunction.create(theta_inj, n_inj)
+    hl = HyperLikelihood.create(mock_catalog, z_grids, fiducial_population,
+                                sel, binning=False, cut_grid=None,
+                                kde_engine="fused", grad_engine="pallas")
+
+    def loss(hl_, h0):
+        return jnp.sum(log_hyperlikelihood_batch(
+            hl_, {"H0": jnp.stack([h0, h0 + 2.0])}))
+
+    gp = jax.grad(lambda v: loss(hl, v))(70.0)
+    gx = jax.grad(lambda v: loss(
+        pytree.replace(hl, grad_engine="xla"), v))(70.0)
+    assert np.isfinite(float(gp))
+    np.testing.assert_allclose(float(gp), float(gx), rtol=1e-10)
+
+
 def test_adjoint_bwd_matches_xla_bwd(spectral_hl):
     """The adjoint Pallas backward (grad_engine='pallas', the HMC fast
     path) produces the same hyper-lambda gradients as the XLA backward."""
