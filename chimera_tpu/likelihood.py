@@ -656,7 +656,7 @@ def _fused_batch_marginalized(hl: HyperLikelihood, pop_b) -> Array:
             pop_b.cosmo, pop_b.mass,
             kernel=hl.kernel, bw_method=hl.bw_method, cut_grid=hl.cut_grid,
             n_grid=8, den_scale="norms", stats_only=True,
-            interpret=not _on_tpu(), **pad_kwargs)
+            interpret=not _on_tpu(), bwd=hl.grad_engine, **pad_kwargs)
         lo_ev, ub_ev = ev_stats["lo"], ev_stats["ub"]       # (L, E)
         ext_bounds = jnp.stack(
             [jnp.repeat(lo_ev, npix, axis=1),
@@ -673,7 +673,7 @@ def _fused_batch_marginalized(hl: HyperLikelihood, pop_b) -> Array:
         n_real=c["n_real"].reshape(b), dl_fill=jnp.repeat(c["dl_fill"], npix),
         logical_s=hl.n_samples_logical,
         kernel=hl.kernel, bw_method=hl.bw_method, cut_grid=None,
-        den_scale="unit", interpret=not _on_tpu())
+        den_scale="unit", interpret=not _on_tpu(), bwd=hl.grad_engine)
 
     # Event-level norms and N_eff gates from the full weight sums (the
     # pixels partition the samples, so per-event sums are pixel sums).

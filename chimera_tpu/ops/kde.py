@@ -78,9 +78,14 @@ def kde1d_params(dataset: Array, weights: Array | None, bw_method
         sw = jnp.sum(weights, axis=-1, keepdims=True)
         weights = weights / jnp.where(sw > 0, sw, 1.0)
     s2 = jnp.sum(jnp.square(weights), axis=-1)
-    neff = 1.0 / jnp.where(s2 > 0, s2, 1.0)
+    # Kish n_eff of unit-mass weights is mathematically in [1, S]; clamp so
+    # underflowing sums cannot push backward chains into inf (0 * inf NaNs)
+    neff = jnp.clip(1.0 / jnp.where(s2 > 0, s2, 1.0), 1.0,
+                    float(dataset.shape[-1]))
     tiny = jnp.asarray(jnp.finfo(dataset.dtype).tiny, dataset.dtype)
-    sig = jnp.sqrt(jnp.maximum(jnp.var(dataset, axis=-1), tiny))
+    # variance floored at sqrt(tiny) so bandwidth-division partials stay
+    # finite in backward passes (see ops/pallas/fused._reference_impl)
+    sig = jnp.sqrt(jnp.maximum(jnp.var(dataset, axis=-1), jnp.sqrt(tiny)))
     h = bw_factor(neff, 1, bw_method) * sig
     return weights, h
 

@@ -301,8 +301,9 @@ def _fused_bwd(cfg, residuals, cotangents):
 
 
 def _adjoint_supported(cfg: _FusedCfg) -> bool:
-    return (cfg.cut_grid is None and cfg.logical_s is None
-            and not cfg.stats_only and cfg.kernel in ("epan", "gauss"))
+    # v2 covers every forward mode (analysis grids, effective grids,
+    # external bounds, compacted rows, stats-only passes).
+    return cfg.kernel in ("epan", "gauss")
 
 
 _fused_call.defvjp(_fused_fwd, _fused_bwd)
@@ -350,9 +351,20 @@ def _reference_impl(cfg: _FusedCfg, m1det, m2det, dl, inv_pe_prior,
         # forward values land on 0 where the kernel lands on NaN -> both are
         # scrubbed identically downstream (nan_to_num + masks).
         tiny = jnp.asarray(jnp.finfo(dt).tiny, dt)
-        z_sig = jnp.sqrt(jnp.maximum(z_var, tiny))
-        neff = sum_w * sum_w / jnp.where(sum_w2 > 0, sum_w2, 1.0)
-        h = bw_factor(jnp.maximum(neff, tiny), 1, cfg.bw_method) * z_sig
+        # variance floored at sqrt(tiny), NOT tiny: with h ~ sqrt(var) the
+        # divide's transpose partial is (g-z)/h^2 ~ 1/var — flooring at
+        # tiny leaves h^2 ~ tiny and the partial overflows to inf, which
+        # NaNs gradients through zero cotangents (0 * inf).  sqrt(tiny)
+        # keeps every partial finite in f32 and f64; real rows are
+        # unaffected (physical z-variances are >> 1e-77).
+        z_sig = jnp.sqrt(jnp.maximum(z_var, jnp.sqrt(tiny)))
+        # Kish n_eff is mathematically in [1, S]; values outside come only
+        # from underflowing weight sums, whose backward chains overflow to
+        # inf and poison gradients through 0 * inf — clamp to the exact
+        # range (dead rows land on 1, still below the default gate).
+        neff = jnp.clip(sum_w * sum_w / jnp.where(sum_w2 > 0, sum_w2, 1.0),
+                        1.0, sl)
+        h = bw_factor(neff, 1, cfg.bw_method) * z_sig
 
         if ext is not None:
             lo = ext[:, 0]
@@ -381,9 +393,19 @@ def _reference_impl(cfg: _FusedCfg, m1det, m2det, dl, inv_pe_prior,
             else:
                 k = jnp.exp(-0.5 * u * u) * (1.0 / _SQRT_2PI)
             den = jnp.sum(w[:, None, :] * k, axis=-1)
-            denom = sl if cfg.den_scale == "norms" else jnp.maximum(
-                sum_w, tiny)[:, None]
-            den = den / h[:, None] / denom
+            if cfg.den_scale == "norms":
+                den = den / h[:, None] / sl
+            else:
+                # select (not clamp-to-tiny): 1/tiny times 1/h_floor
+                # overflows backward partials to inf, which NaNs live
+                # gradients through 0 * inf.  Rows below sqrt(tiny) total
+                # weight are astronomically gated — their unit-mass KDE is
+                # defined as 0 (the scrub value) with clean zero gradients.
+                ok = sum_w > jnp.sqrt(tiny)
+                den = jnp.where(ok[:, None],
+                                den / h[:, None]
+                                / jnp.where(ok, sum_w, 1.0)[:, None],
+                                0.0)
         return den, lo, ub, sum_w / sl, neff, h, sum_w, sum_w2
 
     den, lo, ub, norms, neff, h, sum_w, sum_w2 = jax.vmap(per_lambda)(
@@ -397,96 +419,165 @@ def _reference_impl(cfg: _FusedCfg, m1det, m2det, dl, inv_pe_prior,
 # ---------------------------------------------------------------------------
 
 def _adjoint_kernel(*refs, cos_def, cos_shapes, mass_def, mass_shapes,
-                    n_cos, n_mass, kernel, bw_method, den_scale,
-                    n_samples, block_s, n_grid):
-    """Adjoint of the analysis-grid eventwise forward: given cotangents for
-    (den, stats), accumulate gradients w.r.t. the cosmology/mass leaves.
+                    n_cos, n_mass, kernel, bw_method, cut_grid, den_scale,
+                    n_samples, block_s, n_grid, logical_s, grid_mode,
+                    stats_only):
+    """Adjoint of the fused forward: given cotangents for (den, stats),
+    accumulate gradients w.r.t. the cosmology/mass leaves (and the
+    effective-grid bounds in ext mode).
 
-    Grid layout is (lambda OUTER, event-block INNER) — the per-lambda leaf
-    gradient blocks stay resident while the event blocks sweep, so
+    Covers every forward mode: 'input' (analysis grids), 'auto'
+    (cut_grid effective grids), 'ext' (external bounds), compacted rows
+    (logical_s corrections) and stats_only passes.  The KDE-contraction
+    adjoint is hand-derived and streamed (it is the part that must never
+    materialize (G, S)); the row-statistics and source-frame chains are
+    jax.vjp's of the same in-kernel code paths as the forward — one
+    transcription, no drift.
+
+    Grid layout is (lambda OUTER, event-block INNER) — the per-lambda
+    leaf-gradient blocks stay resident while the event blocks sweep, so
     accumulation across blocks is a read-modify-write on VMEM."""
-    (m1_ref, m2_ref, dl_ref, invp_ref, g_ref, cd_ref, cs_ref) = refs[:7]
-    cos_refs = refs[7:7 + n_cos]
-    mass_refs = refs[7 + n_cos:7 + n_cos + n_mass]
-    gcos_refs = refs[7 + n_cos + n_mass:7 + 2 * n_cos + n_mass]
-    gmass_refs = refs[7 + 2 * n_cos + n_mass:7 + 2 * (n_cos + n_mass)]
-    z_scr, w_scr, dz_scr, dw_scr = refs[7 + 2 * (n_cos + n_mass):]
+    (m1_ref, m2_ref, dl_ref, invp_ref) = refs[:4]
+    p = 4
+    g_ref = ext_ref = None
+    if grid_mode == "input":
+        g_ref = refs[p]
+        p += 1
+    elif grid_mode == "ext":
+        ext_ref = refs[p]
+        p += 1
+    nreal_ref = dlfill_ref = None
+    if logical_s is not None:
+        nreal_ref, dlfill_ref = refs[p:p + 2]
+        p += 2
+    cd_ref, cs_ref = refs[p:p + 2]
+    p += 2
+    cos_refs = refs[p:p + n_cos]
+    mass_refs = refs[p + n_cos:p + n_cos + n_mass]
+    p += n_cos + n_mass
+    gcos_refs = refs[p:p + n_cos]
+    gmass_refs = refs[p + n_cos:p + n_cos + n_mass]
+    p += n_cos + n_mass
+    dext_ref = None
+    if grid_mode == "ext":
+        dext_ref = refs[p]
+        p += 1
+    z_scr, w_scr, dz_scr, dw_scr = refs[p:]
 
     eb = pl.program_id(1)
 
     cos_vals = [r[0, 0, :] for r in cos_refs]
     mass_vals = [r[0, 0, :] for r in mass_refs]
-
-    def phase_a(cvals, mvals, m1, m2, dl_in, invp):
-        cosmo = tree_unflatten(cos_def, [
-            v.reshape(s) if s else v[0] for v, s in zip(cvals, cos_shapes)])
-        mass = tree_unflatten(mass_def, [
-            v.reshape(s) if s else v[0] for v, s in zip(mvals, mass_shapes)])
-        z = cosmo_fns.z_from_dgw(cosmo, dl_in)
-        inv1pz = 1.0 / (1.0 + z)
-        w = p_m1m2(mass, m1 * inv1pz, m2 * inv1pz) * invp
-        return z, w
-
     m1 = m1_ref[...]
     m2 = m2_ref[...]
     dl = dl_ref[...]
     invp = invp_ref[...]
-    (z, w), phase_a_vjp = jax.vjp(
-        lambda cv, mv: phase_a(cv, mv, m1, m2, dl, invp),
-        cos_vals, mass_vals)
+    dl_fill = dlfill_ref[...] if logical_s is not None else None
+
+    def phase_a(cvals, mvals):
+        cosmo = tree_unflatten(cos_def, [
+            v.reshape(sh) if sh else v[0] for v, sh in zip(cvals, cos_shapes)])
+        mass = tree_unflatten(mass_def, [
+            v.reshape(sh) if sh else v[0] for v, sh in zip(mvals, mass_shapes)])
+        z_ = cosmo_fns.z_from_dgw(cosmo, dl)
+        inv1pz = 1.0 / (1.0 + z_)
+        w_ = p_m1m2(mass, m1 * inv1pz, m2 * inv1pz) * invp
+        if logical_s is None:
+            return z_, w_, jnp.zeros((dl.shape[0], 1), dl.dtype)
+        return z_, w_, cosmo_fns.z_from_dgw(cosmo, dl_fill)
+
+    (z, w, zf), phase_a_vjp = jax.vjp(phase_a, cos_vals, mass_vals)
     z_scr[...] = z
     w_scr[...] = w
     dt = z.dtype
     tiny = jnp.asarray(jnp.finfo(dt).tiny, dt)
+    sl_log = float(n_samples if logical_s is None else logical_s)
+    n_val = (nreal_ref[...].astype(dt) if logical_s is not None else None)
 
-    # ---- forward row statistics (same safe math as _reference_impl) ------
-    s = float(n_samples)
-    sum_w = jnp.sum(w, axis=-1, keepdims=True)                 # (E, 1)
-    sum_w2 = jnp.sum(w * w, axis=-1, keepdims=True)
-    z_mean = jnp.mean(z, axis=-1, keepdims=True)
-    z_var = jnp.mean((z - z_mean) ** 2, axis=-1, keepdims=True)
-    z_sig = jnp.sqrt(jnp.maximum(z_var, tiny))
-    sum_w2_safe = jnp.where(sum_w2 > 0, sum_w2, 1.0)
-    neff = sum_w * sum_w / sum_w2_safe
-    neff_safe = jnp.maximum(neff, tiny)
-    if bw_method is None or bw_method == "scott":
-        bw = jnp.exp(-0.2 * jnp.log(neff_safe))
-        dbw_dneff = -0.2 * bw / neff_safe
-    elif bw_method == "silverman":
-        bw = jnp.exp(-0.2 * jnp.log(neff_safe * 0.75))
-        dbw_dneff = -0.2 * bw / neff_safe
-    else:
-        bw = jnp.full_like(neff, float(bw_method))
-        dbw_dneff = jnp.zeros_like(neff)
-    h = bw * z_sig
+    def stats_of(z_, w_, zf_):
+        """Row statistics — the safe-math _reference_impl formulas."""
+        sum_w_ = jnp.sum(w_, axis=-1, keepdims=True)
+        sum_w2_ = jnp.sum(w_ * w_, axis=-1, keepdims=True)
+        if logical_s is None:
+            z_mean = jnp.mean(z_, axis=-1, keepdims=True)
+            z_var = jnp.mean((z_ - z_mean) ** 2, axis=-1, keepdims=True)
+            z_min = jnp.min(z_, axis=-1, keepdims=True)
+            z_max = jnp.max(z_, axis=-1, keepdims=True)
+        else:
+            f_pp = float(n_samples) - n_val
+            f_log = sl_log - n_val
+            sum_z_real = jnp.sum(z_, axis=-1, keepdims=True) - f_pp * zf_
+            z_mean = (sum_z_real + f_log * zf_) / sl_log
+            ss_pp = jnp.sum((z_ - z_mean) ** 2, axis=-1, keepdims=True)
+            z_var = (ss_pp + (f_log - f_pp) * (zf_ - z_mean) ** 2) / sl_log
+            z_min = jnp.minimum(jnp.min(z_, axis=-1, keepdims=True), zf_)
+            z_max = jnp.maximum(jnp.max(z_, axis=-1, keepdims=True), zf_)
+        # variance floor sqrt(tiny): see _reference_impl (finite partials)
+        z_sig = jnp.sqrt(jnp.maximum(z_var, jnp.sqrt(tiny)))
+        # Kish n_eff clamped to its exact mathematical range [1, S] — see
+        # _reference_impl (underflow-overflow gradient poisoning)
+        neff_ = jnp.clip(
+            sum_w_ * sum_w_ / jnp.where(sum_w2_ > 0, sum_w2_, 1.0),
+            1.0, sl_log)
+        h_ = bw_factor(neff_, 1, bw_method) * z_sig
+        if grid_mode == "auto":
+            lo_ = jnp.where(z_min - cut_grid * z_sig > 0.0,
+                            z_min - cut_grid * z_sig, 1e-8)
+            ub_ = z_max + cut_grid * z_sig
+        else:
+            lo_ = jnp.zeros_like(z_min)
+            ub_ = jnp.zeros_like(z_min)
+        return (lo_, ub_, sum_w_ / sl_log, neff_, h_, sum_w_, sum_w2_)
+
+    stats, stats_vjp = jax.vjp(stats_of, z, w, zf)
+    lo_s, ub_s, norms, neff, h, sum_w, sum_w2 = stats
     inv_h = 1.0 / h
-    g = g_ref[...]                                             # (E, Gp)
+    gp = cd_ref.shape[2]
+    e_blk = cd_ref.shape[1]
     cd = cd_ref[0, :, :]                                       # (E, Gp)
-    denom = s if den_scale == "norms" else jnp.maximum(sum_w, tiny)
-    c1 = cd * (inv_h / denom)                                  # (E, Gp)
+
+    if grid_mode == "input":
+        g = g_ref[...]
+    else:
+        if grid_mode == "ext":
+            lo_g = ext_ref[0, :, 0:1]
+            ub_g = ext_ref[0, :, 1:2]
+        else:
+            lo_g, ub_g = lo_s, ub_s
+        delta = (ub_g - lo_g) / (n_grid - 1)
+        g_idx = jax.lax.broadcasted_iota(jnp.int32, (e_blk, gp), 1)
+        g = lo_g + delta * g_idx.astype(dt)
+
+    if den_scale == "norms":
+        denom = sl_log
+        c1 = cd * (inv_h / denom)                              # (E, Gp)
+    else:
+        # select-denominator (see _reference_impl): near-zero weight rows
+        # have zero density and clean zero gradients
+        row_ok = sum_w > jnp.sqrt(tiny)
+        denom = jnp.where(row_ok, sum_w, 1.0)
+        c1 = jnp.where(row_ok, cd * (inv_h / denom), 0.0)
 
     # ---- adjoint of the KDE contraction, streamed over sample chunks -----
-    e_blk, gp = cd.shape
-
     # gp is always a multiple of 128 but not necessarily of 256 (e.g.
     # n_grid=300 -> gp=384): pick the largest tile that divides it exactly,
-    # or the full loop would drop the tail columns.
+    # or the tile loop would drop the tail columns.
     g_tile = 256 if gp % 256 == 0 else 128
 
     def chunk(i, carry):
-        # (E, Sc, Gt) orientation, grid axis split into 256-lane tiles:
+        # (E, Sc, Gt) orientation, grid axis split into <=256-lane tiles:
         # each temporary is E*Sc*Gt*4B (~1 MB) and ~5 are live per tile —
         # the whole working set stays inside the 16 MB scoped-VMEM budget.
         # (Sc is 128: lane-aligned dynamic slices of the (E, S) scratch;
         # the event block must stay 8 for sublane divisibility.)
-        r_acc, t_acc = carry
+        r_acc, t_acc, dg_acc = carry
         sl = pl.ds(i * block_s, block_s)
         zc = z_scr[:, sl]                                      # (E, Sc)
         wc = w_scr[:, sl]
         dw_c = jnp.zeros((e_blk, block_s), dt)
         dz_c = jnp.zeros((e_blk, block_s), dt)
         t_c = jnp.zeros((e_blk, 1), dt)
-        r_pieces = []
+        r_pieces, dg_pieces = [], []
         for gh in range(gp // g_tile):
             gsl = slice(gh * g_tile, (gh + 1) * g_tile)
             gg = g[:, gsl]                                     # (E, Gt)
@@ -503,19 +594,31 @@ def _adjoint_kernel(*refs, cos_def, cos_shapes, mass_def, mass_shapes,
             dw_c = dw_c + jnp.sum(c1g[:, None, :] * k, axis=2)
             dz_c = dz_c - inv_h[:, 0:1] * jnp.sum(du, axis=2)
             r_pieces.append(jnp.sum(wc[:, :, None] * k, axis=1))
+            dg_pieces.append(inv_h * jnp.sum(du, axis=1))      # (E, Gt)
             # two-stage reduction keeps intermediates >= rank 2 (Mosaic)
             t_c = t_c + jnp.sum(jnp.sum(du * u, axis=2), axis=1,
                                 keepdims=True)
         dw_scr[:, sl] = dw_c
         dz_scr[:, sl] = dz_c
         r_acc = r_acc + jnp.concatenate(r_pieces, axis=1)      # (E, Gp)
-        return (r_acc, t_acc + t_c)
+        dg_acc = dg_acc + jnp.concatenate(dg_pieces, axis=1)
+        return (r_acc, t_acc + t_c, dg_acc)
 
-    r_tot, t_tot = jax.lax.fori_loop(
-        0, n_samples // block_s, chunk,
-        (jnp.zeros((e_blk, gp), dt), jnp.zeros((e_blk, 1), dt)))
+    zeros_eg = jnp.zeros((e_blk, gp), dt)
+    zeros_e1 = jnp.zeros((e_blk, 1), dt)
+    if stats_only:
+        r_tot, t_tot, dg_tot = zeros_eg, zeros_e1, zeros_eg
+        dz_kde = jnp.zeros((e_blk, n_samples), dt)
+        dw_kde = jnp.zeros((e_blk, n_samples), dt)
+    else:
+        r_tot, t_tot, dg_tot = jax.lax.fori_loop(
+            0, n_samples // block_s, chunk, (zeros_eg, zeros_e1, zeros_eg))
+        dz_kde = dz_scr[...]
+        dw_kde = dw_scr[...]
 
-    # ---- scalar chains ---------------------------------------------------
+    # ---- contraction-side chains ----------------------------------------
+    ct_lo = cs_ref[0, :, 0:1]
+    ct_ub = cs_ref[0, :, 1:2]
     ct_norms = cs_ref[0, :, 2:3]
     ct_neff = cs_ref[0, :, 3:4]
     ct_h = cs_ref[0, :, 4:5]
@@ -523,24 +626,41 @@ def _adjoint_kernel(*refs, cos_def, cos_shapes, mass_def, mass_shapes,
     ct_sw2 = cs_ref[0, :, 6:7]
 
     cd_r = jnp.sum(cd * r_tot, axis=-1, keepdims=True)         # (E, 1)
-    d_invh = cd_r / denom + t_tot / inv_h
-    dh = ct_h - inv_h * inv_h * d_invh
+    dh_kde = -inv_h * inv_h * (cd_r / denom + t_tot / inv_h)
     d_sum_w_extra = jnp.zeros_like(sum_w)
     if den_scale != "norms":
         den_row = r_tot * (inv_h / denom)
-        d_sum_w_extra = -jnp.sum(cd * den_row, axis=-1, keepdims=True) \
-            / jnp.maximum(sum_w, tiny)
-    ct_neff_tot = ct_neff + dh * z_sig * dbw_dneff
-    d_sum_w = (ct_sw + ct_norms / s + d_sum_w_extra
-               + ct_neff_tot * 2.0 * sum_w / sum_w2_safe)
-    d_sum_w2 = ct_sw2 - ct_neff_tot * neff / sum_w2_safe
-    dz_sig = dh * bw
-    dz_var = jnp.where(z_var > tiny, dz_sig * 0.5 / z_sig, 0.0)
+        d_sum_w_extra = jnp.where(
+            row_ok,
+            -jnp.sum(cd * den_row, axis=-1, keepdims=True) / denom, 0.0)
 
-    dz_total = dz_scr[...] + dz_var * 2.0 * (z - z_mean) / s
-    dw_total = dw_scr[...] + d_sum_w + 2.0 * w * d_sum_w2
+    # effective-grid bound chains: g = lo + (ub - lo) * frac
+    if grid_mode != "input" and not stats_only:
+        frac = jax.lax.broadcasted_iota(jnp.int32, (e_blk, gp), 1).astype(dt) \
+            / (n_grid - 1)
+        dlo_g = jnp.sum(dg_tot * (1.0 - frac), axis=-1, keepdims=True)
+        dub_g = jnp.sum(dg_tot * frac, axis=-1, keepdims=True)
+    else:
+        dlo_g = jnp.zeros_like(sum_w)
+        dub_g = jnp.zeros_like(sum_w)
 
-    dcos, dmass = phase_a_vjp((dz_total, dw_total))
+    if grid_mode == "ext":
+        # bounds are kernel INPUTS: cotangents (incl. the stats lo/ub
+        # passthrough the forward exposes) go to the d_ext output
+        dext_ref[...] = jnp.concatenate(
+            [ct_lo + dlo_g, ct_ub + dub_g], axis=-1)[None, :, :]
+        ct_lo = jnp.zeros_like(ct_lo)
+        ct_ub = jnp.zeros_like(ct_ub)
+    elif grid_mode == "auto":
+        ct_lo = ct_lo + dlo_g
+        ct_ub = ct_ub + dub_g
+    # 'input' mode: lo/ub outputs are constants; their cotangents vanish
+
+    dz_stats, dw_stats, dzf = stats_vjp(
+        (ct_lo, ct_ub, ct_norms, ct_neff, ct_h + dh_kde,
+         ct_sw + d_sum_w_extra, ct_sw2))
+
+    dcos, dmass = phase_a_vjp((dz_kde + dz_stats, dw_kde + dw_stats, dzf))
 
     @pl.when(eb == 0)
     def _init():
@@ -555,6 +675,10 @@ def _adjoint_kernel(*refs, cos_def, cos_shapes, mass_def, mass_shapes,
 
 def _adjoint_impl(cfg: _FusedCfg, residuals, cotangents):
     """Run the adjoint kernel; package cotangents for _fused_call's args."""
+    import numpy as np
+
+    from jax.dtypes import float0
+
     (m1det, m2det, dl, inv_pe_prior, cosmo_batch, mass_batch,
      grids, n_real, dl_fill, ext_bounds) = residuals
     ct_den, ct_stats = cotangents
@@ -566,16 +690,22 @@ def _adjoint_impl(cfg: _FusedCfg, residuals, cotangents):
     cos_packed, cos_def, cos_shapes = _pack_leaves(cosmo_batch)
     mass_packed, mass_def, mass_shapes = _pack_leaves(mass_batch)
     L = cos_packed[0].shape[0] if cos_packed else mass_packed[0].shape[0]
-    n_grid = grids.shape[1]
+    if grids is not None and ext_bounds is None:
+        grid_mode = "input"
+        n_grid = grids.shape[1]
+    elif ext_bounds is not None:
+        grid_mode = "ext"
+        n_grid = cfg.n_grid
+    else:
+        grid_mode = "auto"
+        n_grid = cfg.n_grid
     gp = _round_up(n_grid, 128)
 
-    gpad = jnp.pad(grids, [(0, 0), (0, gp - n_grid)], mode="edge")
     cd = jnp.pad(jnp.asarray(ct_den, dl.dtype),
-                 [(0, 0), (0, 0), (0, gp - n_grid)])  # zero-pad: no ct there
+                 [(0, 0), (0, 0), (0, gp - ct_den.shape[2])])  # zero-pad
     # stats cotangent layout mirrors the forward's 8-slot concat
     cs = jnp.stack([
-        jnp.zeros_like(ct_stats["lo"]),   # lo/ub are constants in this mode
-        jnp.zeros_like(ct_stats["ub"]),
+        ct_stats["lo"], ct_stats["ub"],
         ct_stats["norms"], ct_stats["neff"], ct_stats["bandwidth"],
         ct_stats["sum_w"], ct_stats["sum_w2"],
         jnp.zeros_like(ct_stats["lo"]),
@@ -584,56 +714,86 @@ def _adjoint_impl(cfg: _FusedCfg, residuals, cotangents):
     e_blk = _BLOCK_E
     pe_spec = pl.BlockSpec((e_blk, s), lambda l, eb: (eb, 0),
                            memory_space=pltpu.VMEM)
-    g_spec = pl.BlockSpec((e_blk, gp), lambda l, eb: (eb, 0),
-                          memory_space=pltpu.VMEM)
+    grid_inputs, grid_specs = [], []
+    if grid_mode == "input":
+        gpad = jnp.pad(grids, [(0, 0), (0, gp - n_grid)], mode="edge")
+        grid_inputs = [gpad]
+        grid_specs = [pl.BlockSpec((e_blk, gp), lambda l, eb: (eb, 0),
+                                   memory_space=pltpu.VMEM)]
+    elif grid_mode == "ext":
+        grid_inputs = [ext_bounds.astype(dl.dtype)]
+        grid_specs = [pl.BlockSpec((1, e_blk, 2), lambda l, eb: (l, eb, 0),
+                                   memory_space=pltpu.VMEM)]
+    if cfg.logical_s is not None:
+        grid_inputs += [n_real.reshape(e, 1).astype(dl.dtype),
+                        dl_fill.reshape(e, 1).astype(dl.dtype)]
+        grid_specs += [pl.BlockSpec((e_blk, 1), lambda l, eb: (eb, 0),
+                                    memory_space=pltpu.VMEM)] * 2
     cd_spec = pl.BlockSpec((1, e_blk, gp), lambda l, eb: (l, eb, 0),
                            memory_space=pltpu.VMEM)
     cs_spec = pl.BlockSpec((1, e_blk, 8), lambda l, eb: (l, eb, 0),
                            memory_space=pltpu.VMEM)
     leaf_specs = [
-        pl.BlockSpec((1, 1, p.shape[-1]), lambda l, eb: (l, 0, 0),
+        pl.BlockSpec((1, 1, pk.shape[-1]), lambda l, eb: (l, 0, 0),
                      memory_space=pltpu.VMEM)
-        for p in cos_packed + mass_packed
+        for pk in cos_packed + mass_packed
     ]
-    out_shape = [jax.ShapeDtypeStruct(p.shape, dl.dtype)
-                 for p in cos_packed + mass_packed]
+    out_shape = [jax.ShapeDtypeStruct(pk.shape, dl.dtype)
+                 for pk in cos_packed + mass_packed]
     out_specs = [
-        pl.BlockSpec((1, 1, p.shape[-1]), lambda l, eb: (l, 0, 0),
+        pl.BlockSpec((1, 1, pk.shape[-1]), lambda l, eb: (l, 0, 0),
                      memory_space=pltpu.VMEM)
-        for p in cos_packed + mass_packed
+        for pk in cos_packed + mass_packed
     ]
+    if grid_mode == "ext":
+        out_shape.append(jax.ShapeDtypeStruct((L, e, 2), dl.dtype))
+        out_specs.append(pl.BlockSpec((1, e_blk, 2), lambda l, eb: (l, eb, 0),
+                                      memory_space=pltpu.VMEM))
 
     kern = functools.partial(
         _adjoint_kernel, cos_def=cos_def, cos_shapes=cos_shapes,
         mass_def=mass_def, mass_shapes=mass_shapes,
         n_cos=len(cos_packed), n_mass=len(mass_packed),
-        kernel=cfg.kernel, bw_method=cfg.bw_method, den_scale=cfg.den_scale,
-        n_samples=s, block_s=block_s, n_grid=n_grid)
+        kernel=cfg.kernel, bw_method=cfg.bw_method, cut_grid=cfg.cut_grid,
+        den_scale=cfg.den_scale, n_samples=s, block_s=block_s,
+        n_grid=n_grid, logical_s=cfg.logical_s, grid_mode=grid_mode,
+        stats_only=cfg.stats_only)
 
-    grads = pl.pallas_call(
+    outs = pl.pallas_call(
         kern,
         out_shape=out_shape,
         grid=(L, e // e_blk),              # lambda outer: grad blocks resident
-        in_specs=[pe_spec] * 4 + [g_spec, cd_spec, cs_spec] + leaf_specs,
+        in_specs=[pe_spec] * 4 + grid_specs + [cd_spec, cs_spec] + leaf_specs,
         out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((e_blk, s), dl.dtype)] * 4,
         interpret=cfg.interpret,
-    )(m1det, m2det, dl, inv_pe_prior, gpad, cd, cs, *cos_packed,
+    )(m1det, m2det, dl, inv_pe_prior, *grid_inputs, cd, cs, *cos_packed,
       *mass_packed)
 
     n_cos = len(cos_packed)
+    n_leaves = n_cos + len(mass_packed)
+    grads = outs[:n_leaves]
+    d_ext = outs[n_leaves] if grid_mode == "ext" else None
     cos_leaves, _ = tree_flatten(cosmo_batch)
     mass_leaves, _ = tree_flatten(mass_batch)
     dcos = tree_unflatten(cos_def, [
-        g.reshape(leaf.shape).astype(leaf.dtype)
-        for g, leaf in zip(grads[:n_cos], cos_leaves)])
+        gr.reshape(leaf.shape).astype(leaf.dtype)
+        for gr, leaf in zip(grads[:n_cos], cos_leaves)])
     dmass = tree_unflatten(mass_def, [
-        g.reshape(leaf.shape).astype(leaf.dtype)
-        for g, leaf in zip(grads[n_cos:], mass_leaves)])
+        gr.reshape(leaf.shape).astype(leaf.dtype)
+        for gr, leaf in zip(grads[n_cos:], mass_leaves)])
 
-    zeros = jax.tree_util.tree_map(jnp.zeros_like,
-                                   (m1det, m2det, dl, inv_pe_prior))
-    return (*zeros, dcos, dmass, jnp.zeros_like(grids), None, None, None)
+    def zero_ct(x):
+        if x is None:
+            return None
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.integer):
+            return np.zeros(jnp.shape(x), dtype=float0)
+        return jnp.zeros_like(x)
+
+    return (zero_ct(m1det), zero_ct(m2det), zero_ct(dl),
+            zero_ct(inv_pe_prior), dcos, dmass, zero_ct(grids),
+            zero_ct(n_real), zero_ct(dl_fill),
+            d_ext if d_ext is not None else None)
 
 
 def _pallas_impl(cfg: _FusedCfg, m1det, m2det, dl, inv_pe_prior,

@@ -1,5 +1,11 @@
 """Fully-fused Pallas hot-loop kernel: parity with the stage-by-stage XLA
-path (interpret mode on CPU; the same kernel compiles for real on TPU)."""
+path (interpret mode on CPU; the same kernel compiles for real on TPU).
+
+NOTE: tests must pin ``kde_engine='fused'`` explicitly — under 'auto' the
+dispatcher resolves to the vmap path on CPU backends, and a comparison
+would silently test vmap against itself (a round-2 coverage bug: the
+interpret-mode kernel was not exercised end-to-end by the earlier
+versions of these tests)."""
 
 import jax
 import jax.numpy as jnp
@@ -9,7 +15,6 @@ import pytest
 from chimera_tpu import HyperLikelihood, SelectionFunction, pytree
 from chimera_tpu.likelihood import (
     _fused_eligible,
-    _log_hyperlikelihood_batch_fused,
     log_hyperlikelihood_batch,
 )
 
@@ -34,16 +39,20 @@ def test_eligibility(spectral_hl):
 def test_fused_matches_vmap_path(spectral_hl, kernel, cut_grid):
     hl = pytree.replace(spectral_hl, kernel=kernel, cut_grid=cut_grid)
     h0s = jnp.linspace(55.0, 95.0, 5)
-    expect = np.asarray(log_hyperlikelihood_batch(hl, {"H0": h0s}))
-    got = np.asarray(_log_hyperlikelihood_batch_fused(hl, {"H0": h0s}))
+    expect = np.asarray(log_hyperlikelihood_batch(
+        pytree.replace(hl, kde_engine="xla"), {"H0": h0s}))
+    got = np.asarray(log_hyperlikelihood_batch(
+        pytree.replace(hl, kde_engine="fused"), {"H0": h0s}))
     np.testing.assert_allclose(got, expect, rtol=1e-8)
 
 
 def test_fused_multi_param(spectral_hl):
     batch = {"H0": jnp.array([65.0, 75.0]), "Om0": jnp.array([0.2, 0.35]),
              "mu_g": jnp.array([33.0, 35.0])}
-    expect = np.asarray(log_hyperlikelihood_batch(spectral_hl, batch))
-    got = np.asarray(_log_hyperlikelihood_batch_fused(spectral_hl, batch))
+    expect = np.asarray(log_hyperlikelihood_batch(
+        pytree.replace(spectral_hl, kde_engine="xla"), batch))
+    got = np.asarray(log_hyperlikelihood_batch(
+        pytree.replace(spectral_hl, kde_engine="fused"), batch))
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got, expect, rtol=1e-8)
 
@@ -100,8 +109,10 @@ def test_fused_respects_event_mask(spectral_hl):
 
     hl_pad = pad_events(spectral_hl, 16)  # 24 -> 32 events
     h0s = jnp.linspace(60.0, 90.0, 3)
-    a = np.asarray(_log_hyperlikelihood_batch_fused(spectral_hl, {"H0": h0s}))
-    b = np.asarray(_log_hyperlikelihood_batch_fused(hl_pad, {"H0": h0s}))
+    a = np.asarray(log_hyperlikelihood_batch(
+        pytree.replace(spectral_hl, kde_engine="fused"), {"H0": h0s}))
+    b = np.asarray(log_hyperlikelihood_batch(
+        pytree.replace(hl_pad, kde_engine="fused"), {"H0": h0s}))
     np.testing.assert_allclose(b, a, rtol=1e-10)
 
 
@@ -145,8 +156,10 @@ def test_fused_pixelated_matches_vmap(dark_hl, kind, cut_grid):
                                 binning=False, cut_grid=cut_grid)
     assert _fused_eligible(hl), "fixture should produce an eligible config"
     h0s = jnp.linspace(55.0, 95.0, 4)
-    expect = np.asarray(log_hyperlikelihood_batch(hl, {"H0": h0s}))
-    got = np.asarray(_log_hyperlikelihood_batch_fused(hl, {"H0": h0s}))
+    expect = np.asarray(log_hyperlikelihood_batch(
+        pytree.replace(hl, kde_engine="xla"), {"H0": h0s}))
+    got = np.asarray(log_hyperlikelihood_batch(
+        pytree.replace(hl, kde_engine="fused"), {"H0": h0s}))
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got, expect, rtol=1e-8)
 
@@ -161,20 +174,17 @@ def test_fused_pixelated_grad_matches_vmap(dark_hl, kind, cut_grid):
     hl = HyperLikelihood.create(theta, z_grids, pop_pix, sel, kind=kind,
                                 binning=False, cut_grid=cut_grid)
 
-    def loss_fused(h0):
-        return jnp.sum(_log_hyperlikelihood_batch_fused(
-            hl, {"H0": jnp.stack([h0, h0 + 3.0])}))
-
-    hl_x = pytree.replace(hl, kde_engine="xla")
-
-    def loss_xla(h0):
+    def loss(hl_, h0):
         return jnp.sum(log_hyperlikelihood_batch(
-            hl_x, {"H0": jnp.stack([h0, h0 + 3.0])}))
+            hl_, {"H0": jnp.stack([h0, h0 + 3.0])}))
 
-    gf = float(jax.grad(loss_fused)(72.0))
-    gx = float(jax.grad(loss_xla)(72.0))
-    assert np.isfinite(gf)
-    np.testing.assert_allclose(gf, gx, rtol=1e-6)
+    gx = float(jax.grad(lambda v: loss(
+        pytree.replace(hl, kde_engine="xla"), v))(72.0))
+    for grad_engine in ("xla", "pallas"):
+        gf = float(jax.grad(lambda v: loss(pytree.replace(
+            hl, kde_engine="fused", grad_engine=grad_engine), v))(72.0))
+        assert np.isfinite(gf), grad_engine
+        np.testing.assert_allclose(gf, gx, rtol=1e-6, err_msg=grad_engine)
 
 
 def test_compaction_partitions_samples(dark_hl):
@@ -215,8 +225,10 @@ def test_fused_mgflrw(mock_catalog, mock_injections, mock_z_grids):
 
     batch = {"H0": jnp.array([65.0, 75.0]), "Xi0": jnp.array([0.9, 1.4])}
     expect = np.asarray(jax.vmap(
-        lambda lam: log_hyperlikelihood(hl, lam))(batch))
-    got = np.asarray(_log_hyperlikelihood_batch_fused(hl, batch))
+        lambda lam: log_hyperlikelihood(
+            pytree.replace(hl, kde_engine="xla"), lam))(batch))
+    got = np.asarray(log_hyperlikelihood_batch(
+        pytree.replace(hl, kde_engine="fused"), batch))
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got, expect, rtol=1e-8)
 
