@@ -43,7 +43,11 @@ def chebfit_from_values(vals: Array) -> Array:
     j = jnp.arange(n)
     # nodes were reversed to ascending; undo for the standard projection.
     basis = jnp.cos(jnp.pi * j[:, None] * (k[None, :] + 0.5) / n)
-    coeffs = (2.0 / n) * basis @ vals[..., ::-1]
+    # full-precision matmul: TPU default (single-pass bf16) would put
+    # ~1e-3 relative noise on the fitted coefficients and destroy the
+    # engine's 1e-10 accuracy claim on real hardware
+    coeffs = (2.0 / n) * jnp.matmul(basis, vals[..., ::-1],
+                                    precision=jax.lax.Precision.HIGHEST)
     return coeffs.at[..., 0].mul(0.5)
 
 

@@ -144,12 +144,25 @@ def _safe_norm_weights(weights: Array | None, s: int, dtype) -> Array:
     return jnp.where(sw > 0, weights / jnp.where(sw > 0, sw, 1.0), 1.0 / s)
 
 
+def _chi2_diff(pts_w: Array, data_w: Array, d: int) -> Array:
+    """||data_w[s] - pts_w[p]||^2 as an unrolled difference-form sum —
+    cancellation-free (see note in gaussian_kde_nd)."""
+    chi2 = jnp.zeros((pts_w.shape[0], data_w.shape[0]), pts_w.dtype)
+    for k in range(d):
+        diff = pts_w[:, k][:, None] - data_w[:, k][None, :]
+        chi2 = chi2 + diff * diff
+    return chi2
+
+
 def _weighted_cov(dataset: Array, weights: Array) -> Array:
     """Weighted covariance with the reference's small-sample correction
     (CHIMERA/utils/math.py:125-128): divide by ``1 - sum(w^2)``."""
     mean = jnp.sum(weights[None, :] * dataset, axis=1)
     resid = dataset - mean[:, None]
-    cov = (resid * weights[None, :]) @ resid.T
+    # full precision: TPU default bf16 matmuls put ~1e-3 noise on the
+    # covariance -> bandwidths (see the chi2 note in gaussian_kde_nd)
+    cov = jnp.matmul(resid * weights[None, :], resid.T,
+                     precision=jax.lax.Precision.HIGHEST)
     return cov / (1.0 - jnp.sum(jnp.square(weights)))
 
 
@@ -185,16 +198,20 @@ def gaussian_kde_nd(
     cov = _weighted_cov(dataset, weights)
     inv_cov = jnp.linalg.inv(cov) / (factor * factor)
     whitening = jnp.linalg.cholesky(inv_cov)  # lower-triangular L, inv_cov = L L^T
-    pts_w = points.T @ whitening  # (P, d)
-    data_w = dataset.T @ whitening  # (S, d)
+    pts_w = jnp.matmul(points.T, whitening,
+                       precision=jax.lax.Precision.HIGHEST)   # (P, d)
+    data_w = jnp.matmul(dataset.T, whitening,
+                        precision=jax.lax.Precision.HIGHEST)  # (S, d)
     log_norm = jnp.sum(jnp.log(jnp.diag(whitening))) - 0.5 * d * jnp.log(2 * jnp.pi)
 
-    # chi2[p, s] = ||data_w[s] - pts_w[p]||^2, expanded so the cross term is a
-    # (P, d) x (d, S) matmul (MXU) and the squared norms are cheap VPU work.
-    p_sq = jnp.sum(pts_w * pts_w, axis=1)
-    s_sq = jnp.sum(data_w * data_w, axis=1)
-    cross = pts_w @ data_w.T
-    chi2 = p_sq[:, None] + s_sq[None, :] - 2.0 * cross
+    # chi2[p, s] = ||data_w[s] - pts_w[p]||^2 in DIFFERENCE form.  The
+    # expanded p^2 + s^2 - 2ps form puts the cross term on the MXU, but
+    # under TPU default matmul precision (bf16 inputs) the cancellation
+    # for nearby points makes chi2 large-NEGATIVE -> exp(+big) = inf,
+    # which corrupted the pixelization's 2-D localization pdfs on-device.
+    # d is 2 or 3: the difference form is a short unrolled sum of exact
+    # elementwise squares (VPU), immune to cancellation.
+    chi2 = _chi2_diff(pts_w, data_w, d)
 
     if in_log:
         logw = jnp.log(weights)
@@ -233,8 +250,10 @@ def gaussian_kde_nd_stream(
     cov = _weighted_cov(dataset, weights)
     inv_cov = jnp.linalg.inv(cov) / (factor * factor)
     whitening = jnp.linalg.cholesky(inv_cov)
-    pts_w = points.T @ whitening                       # (P, d)
-    data_w = dataset.T @ whitening                     # (S, d)
+    pts_w = jnp.matmul(points.T, whitening,
+                       precision=jax.lax.Precision.HIGHEST)   # (P, d)
+    data_w = jnp.matmul(dataset.T, whitening,
+                        precision=jax.lax.Precision.HIGHEST)  # (S, d)
     log_norm = jnp.sum(jnp.log(jnp.diag(whitening))) \
         - 0.5 * d * jnp.log(2 * jnp.pi)
     p_sq = jnp.sum(pts_w * pts_w, axis=1)              # (P,)
@@ -252,9 +271,9 @@ def gaussian_kde_nd_stream(
     if not in_log:
         def step(acc, xs):
             dw, w = xs
-            s_sq = jnp.sum(dw * dw, axis=1)
-            chi2 = p_sq[:, None] + s_sq[None, :] - 2.0 * (pts_w @ dw.T)
-            return acc + jnp.exp(-0.5 * chi2) @ w, None
+            chi2 = _chi2_diff(pts_w, dw, d)     # difference form, see above
+            return acc + jnp.sum(jnp.exp(-0.5 * chi2) * w[None, :],
+                                 axis=-1), None
 
         acc, _ = jax.lax.scan(step, jnp.zeros_like(p_sq), (data_c, w_c))
         return jnp.exp(log_norm) * acc
@@ -267,8 +286,7 @@ def gaussian_kde_nd_stream(
     def step_log(carry, xs):
         m, t = carry
         dw, logw = xs
-        s_sq = jnp.sum(dw * dw, axis=1)
-        chi2 = p_sq[:, None] + s_sq[None, :] - 2.0 * (pts_w @ dw.T)
+        chi2 = _chi2_diff(pts_w, dw, d)         # difference form, see above
         vals = -0.5 * chi2 + logw[None, :]             # (P, Sc)
         m_c = jnp.max(vals, axis=1)
         m_new = jnp.maximum(m, m_c)
