@@ -111,9 +111,18 @@ def suite():
         rows.append({"metric": f"hyperlike_eval_ms_{n_ev}ev",
                      "value": round(ms, 4), "unit": "ms"})
         print(json.dumps(rows[-1]), flush=True)
-    hl = build_dark_full()
-    ms = _time_batch(hl, batch=4)
+    hl_full = build_dark_full()
+    ms = _time_batch(hl_full, batch=4)
     rows.append({"metric": "hyperlike_full3d_ms_128ev",
+                 "value": round(ms, 4), "unit": "ms"})
+    print(json.dumps(rows[-1]), flush=True)
+    from chimera_tpu import HyperLikelihood
+
+    hl_marg = HyperLikelihood.create(
+        hl_full.theta_gw, hl_full.z_grids, hl_full.population,
+        hl_full.selection, kind="marginalized", binning=False)
+    ms = _time_batch(hl_marg, batch=8)
+    rows.append({"metric": "hyperlike_marginalized_ms_128ev",
                  "value": round(ms, 4), "unit": "ms"})
     print(json.dumps(rows[-1]), flush=True)
     return rows
