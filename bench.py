@@ -56,7 +56,12 @@ def _time_batch(hl, batch=16, n_rep=5):
     # would bake the PE/injection arrays into the program as constants and
     # blow the tunneled backend's compile-request size limit.
     h0s = jnp.linspace(55.0, 95.0, batch)
-    jax.block_until_ready(hl.log_like_batch({"H0": h0s}))  # compile + warmup
+    out = hl.log_like_batch({"H0": h0s})
+    jax.block_until_ready(out)  # compile + warmup
+    # hardware-numerics guard: round 2 found a TPU-only bf16-matmul
+    # corruption that made dark-siren likelihoods inf on-chip while every
+    # CPU test passed — a bench that times garbage must fail loudly.
+    assert bool(jnp.isfinite(out).all()), "non-finite log-likelihoods"
     best = float("inf")
     for _ in range(n_rep):
         t0 = time.perf_counter()
