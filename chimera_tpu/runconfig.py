@@ -85,6 +85,10 @@ class RunConfig:
     prior: dict = field(default_factory=dict)        # {name: {range=[lo,hi]}}
     sampler: dict = field(default_factory=dict)      # kind, n_walkers, ...
     data: dict = field(default_factory=dict)         # paths / mock settings
+    # dark sirens: completeness model + z_err etc. for the catalog prior
+    catalog: dict = field(default_factory=dict)
+    # nside_list, mean_npixels_event, sky_conf for pixelize_gw_catalog
+    pixelization: dict = field(default_factory=dict)
 
     @classmethod
     def from_dict(cls, raw: dict) -> "RunConfig":
@@ -135,6 +139,39 @@ def prior_bounds(cfg: RunConfig) -> dict[str, tuple[float, float]]:
         if len(rng) != 2 or rng[0] >= rng[1]:
             raise ValueError(f"prior.{name}.range must be [lo, hi]")
         out[name] = (float(rng[0]), float(rng[1]))
+    return out
+
+
+COMPLETENESS_MODELS = {"dvdz": "DVdzCompleteness",
+                       "homogeneous": "HomogeneousCompleteness"}
+
+
+def build_completeness(cfg: RunConfig):
+    """Completeness model from the [catalog] section (dark sirens).
+
+    Keys: ``completeness`` ('dvdz' default), plus the model's create()
+    kwargs (e.g. z_range, kind, z_sig for dvdz)."""
+    from chimera_tpu import catalog as cat_mod
+
+    params = dict(cfg.catalog)
+    params.pop("z_err", None)                    # consumed by the builder
+    name = params.pop("completeness", "dvdz")
+    if name not in COMPLETENESS_MODELS:
+        raise ValueError(
+            f"catalog.completeness must be one of "
+            f"{sorted(COMPLETENESS_MODELS)}, got {name!r}")
+    cls = getattr(cat_mod, COMPLETENESS_MODELS[name])
+    if "z_range" in params:
+        params["z_range"] = tuple(params["z_range"])
+    return cls.create(**params)
+
+
+def pixelization_kwargs(cfg: RunConfig) -> dict:
+    """Keyword arguments for data.pixelize.pixelize_gw_catalog from the
+    [pixelization] section."""
+    out = dict(cfg.pixelization)
+    if "nside_list" in out:
+        out["nside_list"] = [int(n) for n in out["nside_list"]]
     return out
 
 

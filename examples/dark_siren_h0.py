@@ -40,42 +40,57 @@ from chimera_tpu.models import (
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--events", type=int, default=32)
-    ap.add_argument("--samples", type=int, default=512)
-    ap.add_argument("--galaxies", type=int, default=50_000)
-    ap.add_argument("--z-res", type=int, default=300)
+    ap.add_argument("--config", type=str,
+                    default=str(pathlib.Path(__file__).parent
+                                / "dark_siren.toml"),
+                    help="TOML run configuration (chimera_tpu.runconfig)")
+    ap.add_argument("--events", type=int, default=None,
+                    help="override [data].events")
     args = ap.parse_args()
 
-    cosmo = FLRW.create(H0=70.0, Om0=0.25)
-    pop = Population.create(cosmo, PowerLawPeak.create(),
-                            MadauDickinsonRate.create(),
-                            gal_cat=EmptyCatalog())
+    from chimera_tpu.runconfig import (
+        RunConfig,
+        build_completeness,
+        build_population,
+        cosmo_prior,
+        pixelization_kwargs,
+    )
+
+    cfg = RunConfig.load(args.config)
+    if args.events is not None:
+        cfg.data["events"] = args.events
+
+    pop = build_population(cfg, gal_cat=EmptyCatalog())
+    cosmo = pop.cosmo
+    seed = int(cfg.data.get("seed", 1))
 
     # --- mock events + their (cross-matched) host galaxies -----------------
     theta, truths = make_mock_catalog(
-        jax.random.PRNGKey(1), pop, n_events=args.events,
-        n_samples=args.samples, snr_threshold=12.0, sigma_sky_rad=0.03,
-        oversample=400, return_truths=True)
+        jax.random.PRNGKey(seed), pop,
+        n_events=int(cfg.data.get("events", 32)),
+        n_samples=int(cfg.data.get("samples", 512)), snr_threshold=12.0,
+        sigma_sky_rad=0.03, oversample=400, return_truths=True)
 
     # --- pixelize: optimal nside per event, confidence pixels, 2-D loc pdf
-    theta = pixelize_gw_catalog(theta, nside_list=[8, 16, 32],
-                                mean_npixels_event=12, sky_conf=0.9)
+    theta = pixelize_gw_catalog(theta, **pixelization_kwargs(cfg))
 
-    z_grids = compute_z_grids(cosmo, theta,
-                              cosmo_prior={"H0": [40.0, 120.0]},
-                              z_int_res=args.z_res)
+    z_grids = compute_z_grids(cosmo, theta, cosmo_prior=cosmo_prior(cfg),
+                              z_int_res=int(cfg.data.get("z_int_res", 300)))
 
     # --- galaxy catalog prior: p_cat per pixel + completeness --------------
-    galaxies = make_mock_galaxies(jax.random.PRNGKey(2), pop, truths,
-                                  n_background=args.galaxies)
-    compl = DVdzCompleteness.create(z_range=(0.0, 3.0), kind="step")
-    gal_cat = build_pixelated_catalog(galaxies, theta, z_grids, cosmo,
-                                      compl, z_err=0.01)
+    galaxies = make_mock_galaxies(
+        jax.random.PRNGKey(seed + 1), pop, truths,
+        n_background=int(cfg.data.get("galaxies", 50_000)))
+    compl = build_completeness(cfg)
+    gal_cat = build_pixelated_catalog(
+        galaxies, theta, z_grids, cosmo, compl,
+        z_err=float(cfg.catalog.get("z_err", 0.01)))
     pop_pix = pytree.replace(pop, gal_cat=gal_cat)
 
-    inj, n_gen = make_mock_injections(jax.random.PRNGKey(3), pop,
-                                      n_generated=100_000,
-                                      snr_threshold=12.0)
+    inj, n_gen = make_mock_injections(
+        jax.random.PRNGKey(seed + 2), pop,
+        n_generated=int(cfg.data.get("injections", 100_000)),
+        snr_threshold=12.0)
     sel = SelectionFunction.create(inj, n_gen)
 
     # --- H0 scans for all three p_gw3d variants ----------------------------

@@ -91,3 +91,37 @@ def test_unknown_model_rejected(tmp_path):
     p.write_text('[mass]\nmodel = "nope"\n')
     with pytest.raises(ValueError, match="mass.model"):
         build_population(RunConfig.load(str(p)))
+
+
+def test_catalog_and_pixelization_sections(tmp_path):
+    from chimera_tpu.catalog import DVdzCompleteness
+    from chimera_tpu.runconfig import build_completeness, pixelization_kwargs
+
+    p = tmp_path / "dark.toml"
+    p.write_text("""
+[catalog]
+completeness = "dvdz"
+z_range = [0.0, 2.5]
+kind = "step"
+z_err = 0.02
+
+[pixelization]
+nside_list = [8, 16]
+mean_npixels_event = 6
+sky_conf = 0.9
+""")
+    cfg = RunConfig.load(str(p))
+    compl = build_completeness(cfg)
+    assert isinstance(compl, DVdzCompleteness)
+    assert float(compl.z_range[1]) == 2.5
+    kw = pixelization_kwargs(cfg)
+    assert kw["nside_list"] == [8, 16] and kw["sky_conf"] == 0.9
+
+
+def test_unknown_completeness_rejected(tmp_path):
+    from chimera_tpu.runconfig import build_completeness
+
+    p = tmp_path / "bad3.toml"
+    p.write_text('[catalog]\ncompleteness = "nope"\n')
+    with pytest.raises(ValueError, match="catalog.completeness"):
+        build_completeness(RunConfig.load(str(p)))
