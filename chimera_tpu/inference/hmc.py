@@ -325,12 +325,17 @@ def continue_hmc(key, log_density: Callable, state: HMCState,
 def sample_hyperposterior(key, hl, param_names: list[str],
                           bounds: dict[str, tuple[float, float]],
                           init: dict[str, float],
-                          n_chains: int = 4, n_warmup: int = 500,
+                          n_chains: int = 16, n_warmup: int = 500,
                           n_samples: int = 500, init_scale: float = 0.05,
                           extra_log_prior=None, **hmc_kwargs):
     """End-to-end: HMC posterior samples of the hyper-parameters.
 
-    Returns (samples dict {name: (n_samples, n_chains)}, stats)."""
+    Returns (samples dict {name: (n_samples, n_chains)}, stats).
+
+    Chains are cheap on TPU (the chain axis is the fused kernel's lambda
+    axis) and the per-batch population-table rebuild is a FIXED ~30 ms
+    launch-latency cost — use >=16-32 chains so it amortizes
+    (docs/performance.md, "Fixed per-batch cost")."""
     log_density_batch, tr = make_transformed_log_prob_batch(
         hl, param_names, bounds, extra_log_prior)
     x0 = jnp.array([init[p] for p in param_names])
