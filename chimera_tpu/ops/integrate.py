@@ -43,7 +43,11 @@ def cumtrapz(y: Array, x: Array) -> Array:
     """
     dx = jnp.diff(x)
     seg = 0.5 * (y[..., :-1] + y[..., 1:]) * dx
-    res = jnp.cumsum(seg, axis=-1)
+    # associative_scan, not cumsum: on TPU cumsum lowers to a SERIAL while
+    # loop — each of the per-hyper-sample table builds (1000-1500 nodes)
+    # cost ~7 ms of pure loop latency, making population.update a fixed
+    # ~30 ms per batch.  The log-depth scan is ~11 vectorized steps.
+    res = jax.lax.associative_scan(jnp.add, seg, axis=-1)
     zero = jnp.zeros(res.shape[:-1] + (1,), dtype=res.dtype)
     return jnp.concatenate([zero, res], axis=-1)
 
