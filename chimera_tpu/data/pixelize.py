@@ -10,6 +10,7 @@ confidence-set bookkeeping stays host-side numpy and is amortized.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -48,6 +49,12 @@ def pixelize_gw_catalog(
     2-D localization pdf, and each PE sample's pixel (samples outside the
     confidence region snap to the nearest confidence pixel — data.py:319-340).
     Ragged pixel sets are padded with an explicit mask.
+
+    Device work is batched across events (one ang2pix call per nside, one
+    separation call, one vmapped 2-D KDE call) — the reference's per-event
+    Python/healpy loops (data.py:286-345) would cost a device round-trip and
+    a recompile per distinct pixel count, minutes of setup at 1000 events.
+    Only the ragged confidence-set bookkeeping stays host-side numpy.
     """
     ra = np.asarray(theta_gw.ra)
     dec = np.asarray(theta_gw.dec)
@@ -73,40 +80,51 @@ def pixelize_gw_catalog(
     event_pixels = [confidence_pixels(pix_all[opt_nsides[e]][e], sky_conf,
                                       opt_nsides[e])
                     for e in range(n_events)]
-    max_npix = max(len(p) for p in event_pixels)
+    # Pad the pixel axis to a multiple of 8: masked slots are exact no-ops
+    # everywhere, and (8, 128)-tiled row layouts (the fused kernel's
+    # contract mode) need P % 8 == 0.
+    max_npix = -(-max(len(p) for p in event_pixels) // 8) * 8
 
     pix_padded = np.full((n_events, max_npix), PAD_VALUE)
-    ra_pix = np.full((n_events, max_npix), PAD_VALUE)
-    dec_pix = np.full((n_events, max_npix), PAD_VALUE)
-    loc_pdf = np.full((n_events, max_npix), PAD_VALUE)
     mask = np.zeros((n_events, max_npix), dtype=bool)
-    pe_pix = np.zeros_like(ra, dtype=np.int64)
+    for e, pix_e in enumerate(event_pixels):
+        pix_padded[e, :len(pix_e)] = pix_e
+        mask[e, :len(pix_e)] = True
 
-    for e in range(n_events):
-        pix_e = event_pixels[e]
-        k = len(pix_e)
-        nside = int(opt_nsides[e])
-        r_c, d_c = hpx.find_ra_dec(jnp.asarray(pix_e), nside, nest=nest)
-        r_c, d_c = np.asarray(r_c), np.asarray(d_c)
-        pix_padded[e, :k] = pix_e
-        ra_pix[e, :k] = r_c
-        dec_pix[e, :k] = d_c
-        mask[e, :k] = True
+    # Pixel centers: one batched pix2ang call per distinct nside (padded
+    # slots clamped to pixel 0, masked after).
+    pix_clamped = np.where(mask, pix_padded, 0)
+    ra_pix = np.full((n_events, max_npix), float(PAD_VALUE))
+    dec_pix = np.full((n_events, max_npix), float(PAD_VALUE))
+    for ns in np.unique(opt_nsides):
+        sel = opt_nsides == ns
+        r_c, d_c = hpx.find_ra_dec(jnp.asarray(pix_clamped[sel].ravel()),
+                                   int(ns), nest=nest)
+        ra_pix[sel] = np.asarray(r_c).reshape(-1, max_npix)
+        dec_pix[sel] = np.asarray(d_c).reshape(-1, max_npix)
+    ra_c = np.where(mask, ra_pix, 0.0)
+    dec_c = np.where(mask, dec_pix, 0.0)
+    ra_pix[~mask] = PAD_VALUE
+    dec_pix[~mask] = PAD_VALUE
 
-        # Assign PE samples: in-region samples keep their pixel; others snap
-        # to the angularly nearest confidence pixel.
-        samp_pix = pix_all[nside][e]
-        inside = np.isin(samp_pix, pix_e)
-        sep = np.asarray(hpx.angular_separation(
-            jnp.asarray(ra[e][:, None]), jnp.asarray(dec[e][:, None]),
-            jnp.asarray(r_c[None, :]), jnp.asarray(d_c[None, :])))
-        nearest = pix_e[np.argmin(sep, axis=1)]
-        pe_pix[e] = np.where(inside, samp_pix, nearest)
+    # Assign PE samples: in-region samples keep their pixel; others snap to
+    # the angularly nearest confidence pixel.  One batched separation call.
+    samp_pix = np.stack([pix_all[int(opt_nsides[e])][e]
+                         for e in range(n_events)])              # (E, S)
+    eq = samp_pix[:, None, :] == pix_padded[:, :, None]          # (E, P, S)
+    inside = eq.any(axis=1)
+    sep = np.asarray(hpx.angular_separation(
+        jnp.asarray(ra[:, :, None]), jnp.asarray(dec[:, :, None]),
+        jnp.asarray(ra_c[:, None, :]), jnp.asarray(dec_c[:, None, :])))
+    sep = np.where(mask[:, None, :], sep, np.inf)                # (E, S, P)
+    nearest = np.take_along_axis(pix_padded, np.argmin(sep, axis=2), axis=1)
+    pe_pix = np.where(inside, samp_pix, nearest)
 
-        # Per-pixel 2-D localization pdf (data.py:342-345).
-        dataset = jnp.asarray(np.stack([ra[e], dec[e]]))
-        centers = jnp.asarray(np.stack([r_c, d_c]))
-        loc_pdf[e, :k] = np.asarray(gaussian_kde_nd(dataset, centers))
+    # Per-pixel 2-D localization pdf (data.py:342-345), vmapped over events.
+    dataset = jnp.asarray(np.stack([ra, dec], axis=1))           # (E, 2, S)
+    centers = jnp.asarray(np.stack([ra_c, dec_c], axis=1))       # (E, 2, P)
+    loc = np.asarray(jax.jit(jax.vmap(gaussian_kde_nd))(dataset, centers))
+    loc_pdf = np.where(mask, loc, float(PAD_VALUE))
 
     return theta_gw.update(
         opt_nsides=jnp.asarray(opt_nsides),
@@ -139,25 +157,29 @@ def compact_samples_by_pixel(theta_gw: ThetaPEDet, pad_multiple: int = 128
     """
     pe_pix = np.asarray(theta_gw.pixels_pe_opt_nside)     # (E, S)
     pixels = np.asarray(theta_gw.pixels_opt_nsides)       # (E, P)
-    pmask = np.asarray(theta_gw.pixel_mask)
     m1 = np.asarray(theta_gw.m1det)
     m2 = np.asarray(theta_gw.m2det)
     dl = np.asarray(theta_gw.dL)
     inv_prior = 1.0 / np.asarray(theta_gw.pe_prior)
     n_ev, n_pix = pixels.shape
+    n_s = pe_pix.shape[1]
 
-    counts = np.zeros((n_ev, n_pix), dtype=np.int64)
-    idx_lists = []
-    for e in range(n_ev):
-        row = []
-        for p in range(n_pix):
-            if pmask[e, p]:
-                idx = np.flatnonzero(pe_pix[e] == pixels[e, p])
-            else:
-                idx = np.empty(0, dtype=np.int64)
-            counts[e, p] = idx.size
-            row.append(idx)
-        idx_lists.append(row)
+    # Vectorized grouping (the per-(event, pixel) flatnonzero loop is
+    # O(E*P*S) Python — minutes at 1000 events): match each sample to its
+    # pixel's index j in the event's pixel list, stable-sort by j, and
+    # scatter by (j, rank-within-pixel).
+    eq = pixels[:, :, None] == pe_pix[:, None, :]         # (E, P, S)
+    assert bool(eq.any(axis=1).all()), \
+        "every PE sample must map to a confidence pixel (run pixelize first)"
+    j_of = np.argmax(eq, axis=1)                          # (E, S)
+    counts = eq.sum(axis=2, dtype=np.int64)               # (E, P)
+    order = np.argsort(j_of, axis=1, kind="stable")
+    j_sorted = np.take_along_axis(j_of, order, axis=1)
+    starts = np.concatenate(
+        [np.zeros((n_ev, 1), np.int64), np.cumsum(counts, axis=1)[:, :-1]],
+        axis=1)
+    rank = np.arange(n_s)[None, :] - np.take_along_axis(starts, j_sorted,
+                                                        axis=1)
 
     s_pp = int(-(-max(1, counts.max()) // pad_multiple) * pad_multiple)
     dl_fill = dl.min(axis=1)
@@ -171,14 +193,11 @@ def compact_samples_by_pixel(theta_gw: ThetaPEDet, pad_multiple: int = 128
     # event's first sample so the kernel math stays finite
     out["m1det"][:] = m1[:, :1, None]
     out["m2det"][:] = m2[:, :1, None]
-    for e in range(n_ev):
-        for p in range(n_pix):
-            idx = idx_lists[e][p]
-            k = idx.size
-            out["m1det"][e, p, :k] = m1[e, idx]
-            out["m2det"][e, p, :k] = m2[e, idx]
-            out["dL"][e, p, :k] = dl[e, idx]
-            out["inv_pe_prior"][e, p, :k] = inv_prior[e, idx]
+    e_idx = np.arange(n_ev)[:, None]
+    for name, src in (("m1det", m1), ("m2det", m2), ("dL", dl),
+                      ("inv_pe_prior", inv_prior)):
+        out[name][e_idx, j_sorted, rank] = np.take_along_axis(src, order,
+                                                              axis=1)
 
     return {
         "m1det": jnp.asarray(out["m1det"]),
@@ -188,3 +207,57 @@ def compact_samples_by_pixel(theta_gw: ThetaPEDet, pad_multiple: int = 128
         "n_real": jnp.asarray(counts),
         "dl_fill": jnp.asarray(dl_fill),
     }
+
+
+def chunk_rows_from_compact(compact: dict, chunk: int = 128) -> dict:
+    """Repack the rectangular (E, P, S_pp) compacted samples into dense
+    chunk rows of ``chunk`` samples: (E, C, chunk) where each row holds one
+    pixel's samples (a pixel with n samples spans ceil(n/chunk) rows).
+
+    The rectangular layout pads every pixel to the GLOBAL max occupancy —
+    measured ~5x wasted KDE work at 1000 events (sky localization puts most
+    samples in one core pixel).  Chunk rows pad only the last chunk of each
+    pixel plus the event's row count to the per-event max C — ~2-3x less
+    kernel work.  Row statistics (bandwidths, weight sums) still come from
+    the rectangular layout's logical-row machinery; this layout feeds only
+    the KDE contraction (ops.pallas.fused.fused_rows_contract), whose
+    per-row scale factors are gathered via ``row_pix``.
+
+    Returns dict: m1det/m2det/dL/inv_pe_prior (E, C, chunk); row_pix (E, C)
+    pixel index p of each row (0 for dead rows, whose weights are all zero).
+    """
+    m1 = np.asarray(compact["m1det"])
+    n_ev, n_pix, s_pp = m1.shape
+    assert s_pp % chunk == 0
+    counts = np.asarray(compact["n_real"])                 # (E, P)
+    chunks_pp = -(-counts // chunk)                        # ceil, 0 if empty
+    c_ev = chunks_pp.sum(axis=1)
+    c_max = int(-(-max(1, c_ev.max()) // 8) * 8)           # event blocks of 8
+
+    # Source chunk pool: (E, P * S_pp/chunk, chunk) slices of the rectangle.
+    pool_per_pix = s_pp // chunk
+    sel = np.zeros((n_ev, c_max), dtype=np.int64)          # pool index
+    row_pix = np.zeros((n_ev, c_max), dtype=np.int64)
+    dead = np.ones((n_ev, c_max), dtype=bool)
+    for e in range(n_ev):
+        pos = 0
+        for p in range(n_pix):
+            k = int(chunks_pp[e, p])
+            sel[e, pos:pos + k] = p * pool_per_pix + np.arange(k)
+            row_pix[e, pos:pos + k] = p
+            dead[e, pos:pos + k] = False
+            pos += k
+
+    out = {"row_pix": jnp.asarray(row_pix)}
+    e_idx = np.arange(n_ev)[:, None]
+    for name in ("m1det", "m2det", "dL", "inv_pe_prior"):
+        pool = np.asarray(compact[name]).reshape(n_ev, n_pix * pool_per_pix,
+                                                 chunk)
+        rows = pool[e_idx, sel]                            # (E, C, chunk)
+        if name == "inv_pe_prior":
+            rows = np.where(dead[:, :, None], 0.0, rows)   # dead rows: w = 0
+        elif name == "dL":
+            dlf = np.asarray(compact["dl_fill"])[:, None, None]
+            rows = np.where(dead[:, :, None], dlf, rows)
+        out[name] = jnp.asarray(rows)
+    return out

@@ -107,9 +107,14 @@ class HyperLikelihood:
         theta_gw = _sort_samples_by_distance(theta_gw)
         compact = None
         if kind == "marginalized" and not binning:
-            from chimera_tpu.data.pixelize import compact_samples_by_pixel
+            from chimera_tpu.data.pixelize import (chunk_rows_from_compact,
+                                                   compact_samples_by_pixel)
 
             compact = compact_samples_by_pixel(theta_gw)
+            if cut_grid is None:
+                # flagship path: dense chunk rows for the rows-contract
+                # kernel (KDE work ~ real samples, not padded rectangle)
+                compact["rows"] = chunk_rows_from_compact(compact)
         n_events_input = theta_gw.dL.shape[0]
         n_samples_real = None
         if not binning:
@@ -642,6 +647,11 @@ def _fused_batch_marginalized(hl: HyperLikelihood, pop_b) -> Array:
     nz = hl.z_int_res
     flat = lambda a: a.reshape(b, s_pp)
 
+    if hl.cut_grid is None and "rows" in c:
+        return _fused_batch_marginalized_rows(hl, pop_b)
+    if hl.cut_grid is None and (npix == 1 or npix % 8 == 0):
+        return _fused_batch_marginalized_contract(hl, pop_b)
+
     ext_bounds = None
     if hl.cut_grid is not None:
         # pass 1: event-level effective-grid bounds (stats only, no KDE)
@@ -706,6 +716,165 @@ def _fused_batch_marginalized(hl: HyperLikelihood, pop_b) -> Array:
 
     return jax.vmap(per_lambda)(pop_b, den, gate, norms,
                                 stats["lo"], stats["ub"])
+
+
+def _fused_batch_marginalized_contract(hl: HyperLikelihood, pop_b) -> Array:
+    """'marginalized' + cut_grid=None through the kernel's contract mode:
+    the entire per-lambda epilogue — localization pdf, the pixelated-catalog
+    mixture fR*p_cat + (1-P_compl)*p_bkg, rate/(1+z), the detector-frame
+    jacobian, the trapz z-integral, and the pixel partials — is contracted
+    INSIDE the fused kernel, so HBM never sees an (L, E, P, Nz) intermediate
+    (the round-2 dark-siren bottleneck: a stage-by-stage epilogue cost more
+    than the KDE itself).  Reference semantics: likelihood.py:160-205 +
+    266-281 and catalog/catalog.py:197-203.
+
+    Decomposition (all per-row factors static, per-lambda factors (L,E,Nz)):
+
+        num[l,e] = norms[l,e] * gate * ( fR[l] * sum_p r1[l,e,p]
+                                         + sum_p r2[l,e,p] )
+        r1[l,b]  = sum_z den[l,b,z] * {p_cat*loc*tw}[b,z] * {psi/(1+z)/jac}[l,e,z]
+        r2[l,b]  = sum_z den[l,b,z] * {(1-P_compl)*loc*tw}[b,z]
+                                    * {p_bkg*psi/(1+z)/jac}[l,e,z]
+    """
+    from chimera_tpu.ops.pallas.fused import fused_weights_kde
+
+    tgw = hl.theta_gw
+    c = hl.compact
+    nev, npix, s_pp = c["m1det"].shape
+    b = nev * npix
+    nz = hl.z_int_res
+    flat = lambda a: a.reshape(b, s_pp)
+
+    s1, s2 = _marg_static_factors(hl)
+    f1, f2, fR = _marg_lambda_factors(hl, pop_b)
+
+    r, stats = fused_weights_kde(
+        flat(c["m1det"]), flat(c["m2det"]), flat(c["dL"]),
+        flat(c["inv_pe_prior"]),
+        pop_b.cosmo, pop_b.mass,
+        grids=jnp.repeat(hl.z_grids, npix, axis=0),
+        contract=(s1, s2, f1, f2),
+        n_real=c["n_real"].reshape(b), dl_fill=jnp.repeat(c["dl_fill"], npix),
+        logical_s=hl.n_samples_logical,
+        kernel=hl.kernel, bw_method=hl.bw_method, cut_grid=None,
+        den_scale="unit", interpret=not _on_tpu(), bwd=hl.grad_engine)
+
+    ll = r.shape[0]
+    # Event-level norms and N_eff gates from the full weight sums (the
+    # pixels partition the samples, so per-event sums are pixel sums).
+    sum_w = jnp.sum(stats["sum_w"].reshape(ll, nev, npix), axis=-1)
+    sum_w2 = jnp.sum(stats["sum_w2"].reshape(ll, nev, npix), axis=-1)
+    norms = sum_w / hl.n_samples_logical
+    gate = (sum_w * sum_w / sum_w2) >= hl.pe_neff
+    r1 = jnp.sum(r[:, :, 0].reshape(ll, nev, npix), axis=-1)
+    r2 = jnp.sum(r[:, :, 1].reshape(ll, nev, npix), axis=-1)
+    num = norms * (fR[:, None] * r1 + r2)
+    return jnp.where(gate, jnp.nan_to_num(num), 0.0)
+
+
+def _marg_static_factors(hl: HyperLikelihood):
+    """Lambda-independent contract factors: s1 = p_cat*loc*tw and
+    s2 = (1-P_compl)*loc*tw per (event, pixel) row — (B, Nz) each."""
+    from chimera_tpu.ops.integrate import trapz_weights
+
+    tgw = hl.theta_gw
+    gc = hl.population.gal_cat
+    nev, npix = tgw.pixel_mask.shape
+    nz = hl.z_int_res
+    b = nev * npix
+    tw = trapz_weights(hl.z_grids)                        # (E, Nz)
+    loc = jnp.where(tgw.pixel_mask, tgw.gw_loc2d_pdf, 0.0)
+    base = loc[:, :, None] * tw[:, None, :]               # (E, P, Nz)
+    s1 = (gc.p_cat * base).reshape(b, nz)
+    s2 = ((1.0 - gc.P_compl) * base).reshape(b, nz)
+    return s1, s2
+
+
+def _marg_lambda_factors(hl: HyperLikelihood, pop_b):
+    """Per-lambda contract factors f1 = psi/(1+z)/jac, f2 = p_bkg*f1 —
+    (L, E, Nz) — plus the completeness fraction fR(lambda) — (L,)."""
+    compl = hl.population.gal_cat.completeness
+
+    def per_lambda(pop):
+        rate_t = pop.rate.rate(hl.z_grids) / (1.0 + hl.z_grids)
+        f1 = rate_t / _jacobian(pop, hl.z_grids)          # (E, Nz)
+        f2 = compl.p_bkg(pop.cosmo, hl.z_grids) * f1
+        return f1, f2, compl.fR(pop.cosmo)
+
+    return jax.vmap(per_lambda)(pop_b)
+
+
+def _fused_batch_marginalized_rows(hl: HyperLikelihood, pop_b) -> Array:
+    """Flagship 'marginalized' + cut_grid=None path: dense 128-sample chunk
+    rows (data.pixelize.chunk_rows_from_compact) through the rows-contract
+    kernel, with row statistics from a cheap stats-only pass on the
+    rectangular layout.
+
+    Two kernel passes per batch:
+      1. stats-only fused pass on (B = E*P, S_pp): bandwidths + weight sums
+         with the logical-row corrections (no KDE loop — O(L*B*S_pp)
+         elementwise, a few % of the KDE cost);
+      2. rows-contract pass on (R = E*C, 128): KDE + the full dark-siren
+         epilogue contraction (see _fused_batch_marginalized_contract's
+         decomposition), at work proportional to the REAL sample count —
+         the rectangular KDE pass wastes ~5x on pixel-occupancy padding.
+    """
+    from chimera_tpu.ops.pallas.fused import (fused_rows_contract,
+                                              fused_weights_kde)
+
+    c = hl.compact
+    rows = c["rows"]
+    nev, npix, s_pp = c["m1det"].shape
+    b = nev * npix
+    cc = rows["dL"].shape[1]
+    r_rows = nev * cc
+    chunk = rows["dL"].shape[2]
+    flat = lambda a: a.reshape(b, s_pp)
+    interpret = not _on_tpu()
+
+    # pass 1: row statistics (bandwidth, weight sums) on the rectangle
+    _, stats = fused_weights_kde(
+        flat(c["m1det"]), flat(c["m2det"]), flat(c["dL"]),
+        flat(c["inv_pe_prior"]),
+        pop_b.cosmo, pop_b.mass,
+        n_real=c["n_real"].reshape(b), dl_fill=jnp.repeat(c["dl_fill"], npix),
+        logical_s=hl.n_samples_logical,
+        kernel=hl.kernel, bw_method=hl.bw_method, cut_grid=2.0,
+        n_grid=8, den_scale="unit", stats_only=True,
+        interpret=interpret, bwd=hl.grad_engine)
+
+    h = stats["bandwidth"]                                 # (L, B)
+    sum_w = stats["sum_w"]
+    tiny = jnp.asarray(jnp.finfo(h.dtype).tiny, h.dtype)
+    ok = (sum_w > jnp.sqrt(tiny)) & jnp.isfinite(h) & (h > 0.0)
+    h_safe = jnp.where(ok, h, 1.0)
+    scale = jnp.where(ok, 1.0 / (h_safe * jnp.where(ok, sum_w, 1.0)), 0.0)
+
+    s1, s2 = _marg_static_factors(hl)                      # (B, Nz)
+    f1, f2, fR = _marg_lambda_factors(hl, pop_b)
+
+    # gather per chunk row (row_pix is the pixel index within the event)
+    gidx = (jnp.arange(nev)[:, None] * npix + rows["row_pix"]).reshape(r_rows)
+    hs = jnp.stack([h_safe[:, gidx], scale[:, gidx]], axis=-1)  # (L, R, 2)
+
+    r = fused_rows_contract(
+        rows["m1det"].reshape(r_rows, chunk),
+        rows["m2det"].reshape(r_rows, chunk),
+        rows["dL"].reshape(r_rows, chunk),
+        rows["inv_pe_prior"].reshape(r_rows, chunk),
+        pop_b.cosmo, pop_b.mass, hl.z_grids, hs,
+        s1[gidx], s2[gidx], f1, f2,
+        kernel=hl.kernel, c_per_event=cc, interpret=interpret)
+
+    ll = r.shape[0]
+    sum_w_ev = jnp.sum(sum_w.reshape(ll, nev, npix), axis=-1)
+    sum_w2_ev = jnp.sum(stats["sum_w2"].reshape(ll, nev, npix), axis=-1)
+    norms = sum_w_ev / hl.n_samples_logical
+    gate = (sum_w_ev * sum_w_ev / sum_w2_ev) >= hl.pe_neff
+    r1 = jnp.sum(r[:, :, 0].reshape(ll, nev, cc), axis=-1)
+    r2 = jnp.sum(r[:, :, 1].reshape(ll, nev, cc), axis=-1)
+    num = norms * (fR[:, None] * r1 + r2)
+    return jnp.where(gate, jnp.nan_to_num(num), 0.0)
 
 
 def compute_all(hl: HyperLikelihood, hyper: dict):

@@ -23,6 +23,21 @@ def trapz(y: Array, x: Array, axis: int = -1) -> Array:
     return jnp.trapezoid(y, x=x, axis=axis)
 
 
+def trapz_weights(x: Array) -> Array:
+    """Per-node trapezoid quadrature weights over the LAST axis:
+    ``trapz(y, x) == sum(trapz_weights(x) * y, axis=-1)`` exactly (same
+    pairing, modulo float reduction order).
+
+    Used to fold the z-integral into fused kernels (ops.pallas.fused contract
+    mode) as a static per-(event, z) factor.
+    """
+    dx = jnp.diff(x, axis=-1)
+    zeros = jnp.zeros_like(x[..., :1])
+    left = jnp.concatenate([zeros, dx], axis=-1)
+    right = jnp.concatenate([dx, zeros], axis=-1)
+    return 0.5 * (left + right)
+
+
 def masked_trapz(y: Array, x: Array, mask: Array, axis: int = -1) -> Array:
     """Trapezoid over only the entries where ``mask`` is True.
 

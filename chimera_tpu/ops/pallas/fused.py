@@ -71,7 +71,7 @@ def _unpack_leaves(refs, treedef, shapes):
 def _fused_kernel(*refs, cos_def, cos_shapes, mass_def, mass_shapes,
                   n_cos, n_mass, kernel, bw_method, cut_grid, n_grid,
                   n_samples, block_s, den_scale, logical_s, has_ext_bounds,
-                  stats_only):
+                  stats_only, npix):
     (m1_ref, m2_ref, dl_ref, invprior_ref) = refs[:4]
     n_pe = 4
     zg_ref = None
@@ -87,6 +87,10 @@ def _fused_kernel(*refs, cos_def, cos_shapes, mass_def, mass_shapes,
     if logical_s is not None:       # compacted-pixel mode (see below)
         nreal_ref, dlfill_ref = refs[n_pe:n_pe + 2]
         n_pe += 2
+    s1_ref = s2_ref = f1_ref = f2_ref = None
+    if npix:                        # contract mode (see fused_weights_kde)
+        s1_ref, s2_ref, f1_ref, f2_ref = refs[n_pe:n_pe + 4]
+        n_pe += 4
     cos_refs = refs[n_pe:n_pe + n_cos]
     mass_refs = refs[n_pe + n_cos:n_pe + n_cos + n_mass]
     den_ref, stats_ref = refs[n_pe + n_cos + n_mass:n_pe + n_cos + n_mass + 2]
@@ -137,7 +141,9 @@ def _fused_kernel(*refs, cos_def, cos_shapes, mass_def, mass_shapes,
     h = bw_factor(neff, 1, bw_method) * z_sig          # bandwidth (E, 1)
 
     # ---- phase B: KDE contraction over sample chunks --------------------
-    gp = den_ref.shape[2]
+    # (in contract mode the den output holds the 2 contracted sums, so the
+    # grid width comes from the grids input instead)
+    gp = zg_ref.shape[1] if npix else den_ref.shape[2]
     if has_ext_bounds:
         # effective-grid bounds supplied per (lambda, row) — the second pass
         # of the two-pass 'marginalized'+cut_grid scheme (per-pixel KDE on
@@ -179,11 +185,31 @@ def _fused_kernel(*refs, cos_def, cos_shapes, mass_def, mass_shapes,
         return acc + jnp.sum(wc[:, None, :] * k, axis=-1)
 
     if stats_only:
-        den_ref[0, :, :] = jnp.zeros((_BLOCK_E, gp), z.dtype)
+        den_ref[0, :, :] = jnp.zeros_like(den_ref[0, :, :])
     else:
         den = jax.lax.fori_loop(0, n_samples // block_s, chunk,
                                 jnp.zeros((_BLOCK_E, gp), z.dtype))
-        if den_scale == "norms":
+        if npix:
+            # contract mode: the z-integral (trapz weights folded into
+            # s1/s2), the pixelated-catalog mixture, and the pixel-partial
+            # sums happen HERE — HBM never sees a (L, B, Nz) density.
+            # Guarded unit-mass scale: dead rows (empty pixels) come out
+            # exactly 0 with no downstream scrub needed.
+            tiny = jnp.asarray(jnp.finfo(z.dtype).tiny, z.dtype)
+            ok = sum_w > jnp.sqrt(tiny)
+            den = jnp.where(ok, den * (inv_h / jnp.where(ok, sum_w, 1.0)),
+                            0.0)
+            if npix == 1:
+                f1 = f1_ref[0]                         # (E, Gp)
+                f2 = f2_ref[0]
+            else:
+                f1 = f1_ref[0, 0]                      # (1, Gp) — broadcast
+                f2 = f2_ref[0, 0]
+            r1 = jnp.sum(den * s1_ref[...] * f1, axis=-1, keepdims=True)
+            r2 = jnp.sum(den * s2_ref[...] * f2, axis=-1, keepdims=True)
+            pad = jnp.zeros((_BLOCK_E, 6), z.dtype)
+            den_ref[0, :, :] = jnp.concatenate([r1, r2, pad], axis=-1)
+        elif den_scale == "norms":
             den_ref[0, :, :] = den * (inv_h / s)
         else:
             den_ref[0, :, :] = den * (inv_h / sum_w)
@@ -204,6 +230,11 @@ class _FusedCfg(NamedTuple):
     interpret: bool
     logical_s: int | None
     stats_only: bool = False
+    # contract mode: >0 = rows-per-event of the (B = E*npix, S) row layout;
+    # the kernel consumes per-row static factors s1/s2 and per-(lambda,
+    # event) factors f1/f2 and returns the contracted pixel-partial sums
+    # r1/r2 instead of densities (the dark-siren epilogue fused on-chip).
+    npix: int = 0
     # 'xla': backward differentiates the reference implementation (correct
     # for EVERY input).  'pallas': adjoint Pallas kernel — fast hyper-lambda
     # gradients (cosmology/mass leaves); cotangents for the PE data / grids
@@ -221,6 +252,7 @@ def fused_weights_kde(
     cosmo_batch, mass_batch, grids: Array | None = None,
     n_real: Array | None = None, dl_fill: Array | None = None,
     logical_s: int | None = None, ext_bounds: Array | None = None,
+    contract: tuple | None = None,
     kernel: str = "epan", bw_method=None, cut_grid: float | None = 2.0,
     n_grid: int = 250, den_scale: str = "norms", interpret: bool = False,
     stats_only: bool = False, bwd: str = "xla",
@@ -245,10 +277,21 @@ def fused_weights_kde(
       den_scale: 'norms' folds the reference's ``norms = mean(w)`` factor
         into the density (likelihood.py:111,142); 'unit' returns the
         unit-mass KDE.
+      contract: optional (s1, s2, f1, f2) — fuse the dark-siren epilogue
+        into the kernel.  Rows are laid out (event-major) as B = E_ev * P;
+        s1/s2 are (B, n_grid) lambda-independent factors (catalog p_cat /
+        (1 - P_compl), localization pdf, trapz weights), f1/f2 are
+        (L, E_ev, n_grid) per-lambda factors (rate / jacobian / p_bkg).
+        Returns r = (L, B, 2) with r[..., 0] = sum_z den*s1*f1 and
+        r[..., 1] = sum_z den*s2*f2 instead of densities — no (L, B, Nz)
+        array ever reaches HBM.  Requires grids (analysis mode),
+        den_scale='unit' (applied with a dead-row guard in-kernel), and
+        P % 8 == 0 or P == 1.
 
     Returns:
       den:   (L, E, n_grid) densities on per-(lambda,event) effective grids
-        (cut_grid mode) or on ``grids`` (analysis mode)
+        (cut_grid mode) or on ``grids`` (analysis mode); in contract mode
+        instead the (L, B, 2) partial sums r1/r2.
       stats: dict with lo, ub, norms, neff, bandwidth  — each (L, E)
     """
     e, s = dl.shape
@@ -261,19 +304,35 @@ def fused_weights_kde(
         raise ValueError("logical_s requires n_real and dl_fill")
     if grids is not None and ext_bounds is None:
         n_grid = grids.shape[1]
+    s1 = s2 = f1 = f2 = None
+    npix = 0
+    if contract is not None:
+        s1, s2, f1, f2 = contract
+        if grids is None or ext_bounds is not None or stats_only:
+            raise ValueError("contract mode requires analysis grids")
+        if den_scale != "unit":
+            raise ValueError("contract mode implies den_scale='unit'")
+        e_ev = f1.shape[1]
+        npix = e // e_ev
+        if npix * e_ev != e or not (npix == 1 or npix % _BLOCK_E == 0):
+            raise ValueError(
+                f"contract rows ({e}) must be E_ev ({e_ev}) x P with "
+                f"P == 1 or P % {_BLOCK_E} == 0 (pad the pixel axis)")
     cfg = _FusedCfg(kernel=kernel, bw_method=bw_method, cut_grid=cut_grid,
                     n_grid=n_grid, den_scale=den_scale, interpret=interpret,
-                    logical_s=logical_s, stats_only=stats_only, bwd=bwd)
+                    logical_s=logical_s, stats_only=stats_only, bwd=bwd,
+                    npix=npix)
     return _fused_call(cfg, m1det, m2det, dl, inv_pe_prior,
                        cosmo_batch, mass_batch, grids, n_real, dl_fill,
-                       ext_bounds)
+                       ext_bounds, s1, s2, f1, f2)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused_call(cfg, m1det, m2det, dl, inv_pe_prior, cosmo_batch, mass_batch,
-                grids, n_real, dl_fill, ext_bounds):
+                grids, n_real, dl_fill, ext_bounds, s1, s2, f1, f2):
     return _pallas_impl(cfg, m1det, m2det, dl, inv_pe_prior, cosmo_batch,
-                        mass_batch, grids, n_real, dl_fill, ext_bounds)
+                        mass_batch, grids, n_real, dl_fill, ext_bounds,
+                        s1, s2, f1, f2)
 
 
 def _fused_fwd(cfg, *args):
@@ -302,8 +361,9 @@ def _fused_bwd(cfg, residuals, cotangents):
 
 def _adjoint_supported(cfg: _FusedCfg) -> bool:
     # v2 covers every forward mode (analysis grids, effective grids,
-    # external bounds, compacted rows, stats-only passes).
-    return cfg.kernel in ("epan", "gauss")
+    # external bounds, compacted rows, stats-only passes) EXCEPT the
+    # contract epilogue (npix > 0), which falls back to the XLA backward.
+    return cfg.kernel in ("epan", "gauss") and cfg.npix == 0
 
 
 _fused_call.defvjp(_fused_fwd, _fused_bwd)
@@ -311,7 +371,7 @@ _fused_call.defvjp(_fused_fwd, _fused_bwd)
 
 def _reference_impl(cfg: _FusedCfg, m1det, m2det, dl, inv_pe_prior,
                     cosmo_batch, mass_batch, grids, n_real, dl_fill,
-                    ext_bounds=None):
+                    ext_bounds=None, s1=None, s2=None, f1=None, f2=None):
     """Pure-XLA implementation of the fused kernel's exact semantics.
 
     Used as (a) the differentiation path of :func:`fused_weights_kde` and
@@ -320,7 +380,7 @@ def _reference_impl(cfg: _FusedCfg, m1det, m2det, dl, inv_pe_prior,
     e, s = dl.shape
     dt = dl.dtype
 
-    def per_lambda(cosmo, mass, ext):
+    def per_lambda(cosmo, mass, ext, f1_l, f2_l):
         z = cosmo_fns.z_from_dgw(cosmo, dl)                    # (E, S)
         inv1pz = 1.0 / (1.0 + z)
         w = p_m1m2(mass, m1det * inv1pz, m2det * inv1pz) * inv_pe_prior
@@ -406,12 +466,233 @@ def _reference_impl(cfg: _FusedCfg, m1det, m2det, dl, inv_pe_prior,
                                 den / h[:, None]
                                 / jnp.where(ok, sum_w, 1.0)[:, None],
                                 0.0)
+            if cfg.npix:
+                # contract epilogue (see fused_weights_kde): per-row z-sums
+                # against the static (s1, s2) and per-lambda (f1, f2) factors
+                f1r = jnp.repeat(f1_l, cfg.npix, axis=0)       # (B, G)
+                f2r = jnp.repeat(f2_l, cfg.npix, axis=0)
+                r1 = jnp.sum(den * s1 * f1r, axis=-1)
+                r2 = jnp.sum(den * s2 * f2r, axis=-1)
+                den = jnp.stack([r1, r2], axis=-1)             # (B, 2)
         return den, lo, ub, sum_w / sl, neff, h, sum_w, sum_w2
 
     den, lo, ub, norms, neff, h, sum_w, sum_w2 = jax.vmap(per_lambda)(
-        cosmo_batch, mass_batch, ext_bounds)
+        cosmo_batch, mass_batch, ext_bounds, f1, f2)
     return den, {"lo": lo, "ub": ub, "norms": norms, "neff": neff,
                  "bandwidth": h, "sum_w": sum_w, "sum_w2": sum_w2}
+
+
+# ---------------------------------------------------------------------------
+# Chunk-row contract kernel (dark-siren flagship path)
+# ---------------------------------------------------------------------------
+
+class _RowsCfg(NamedTuple):
+    kernel: str
+    c_per_event: int     # chunk rows per event (R = E_ev * C, C % 8 == 0)
+    interpret: bool
+
+
+def _rows_kernel(*refs, cos_def, cos_shapes, mass_def, mass_shapes,
+                 n_cos, n_mass, kernel, c_per_event, sub):
+    """One program = EB rows (G whole events, EB = G * C).  A 128-sample
+    chunk row carries ~1.6 us of VPU work — at 8 rows/program the fixed
+    program overhead (launch + block DMAs) dominated ~6x (measured 20.4
+    vs 3.1 ms/lambda roofline at the 1000-event flagship), so the kernel
+    batches ~128 rows per program and sweeps them in 8-row sub-blocks."""
+    (m1_ref, m2_ref, dl_ref, invp_ref, zg_ref, hs_ref,
+     s1_ref, s2_ref, f1_ref, f2_ref) = refs[:10]
+    cos_refs = refs[10:10 + n_cos]
+    mass_refs = refs[10 + n_cos:10 + n_cos + n_mass]
+    out_ref = refs[10 + n_cos + n_mass]
+
+    cosmo = _unpack_leaves(cos_refs, cos_def, cos_shapes)
+    mass = _unpack_leaves(mass_refs, mass_def, mass_shapes)
+
+    # phase A for ALL rows of the program at once (the population code
+    # path, as in _fused_kernel; row statistics precomputed via hs_ref)
+    dl = dl_ref[...]                                   # (EB, chunk)
+    z = cosmo_fns.z_from_dgw(cosmo, dl)
+    inv1pz = 1.0 / (1.0 + z)
+    w = p_m1m2(mass, m1_ref[...] * inv1pz, m2_ref[...] * inv1pz) \
+        * invp_ref[...]
+
+    f1 = f1_ref[0, 0]                                  # (G, gp)
+    f2 = f2_ref[0, 0]
+    zg = zg_ref[0]                                     # (G, gp)
+    eb = dl.shape[0]
+    outs = []
+    for sb in range(eb // sub):
+        sl = slice(sb * sub, (sb + 1) * sub)
+        e_loc = (sb * sub) // c_per_event              # static: C % sub == 0
+        g = zg[e_loc:e_loc + 1, :]                     # (1, gp)
+        h = hs_ref[0, sl, 0:1]                         # (sub, 1)
+        scale = hs_ref[0, sl, 1:2]                     # inv_h / sum_w_pixel
+        u = (g[:, :, None] - z[sl, None, :]) / h[:, :, None]
+        if kernel == "epan":
+            k = 0.75 * jnp.maximum(0.0, 1.0 - u * u)
+        else:
+            k = jnp.exp(-0.5 * u * u) * (1.0 / _SQRT_2PI)
+        den = jnp.sum(w[sl, None, :] * k, axis=-1)     # (sub, gp)
+        f1r = f1[e_loc:e_loc + 1, :]
+        f2r = f2[e_loc:e_loc + 1, :]
+        r1 = jnp.sum(den * s1_ref[sl, :] * f1r, axis=-1, keepdims=True)
+        r2 = jnp.sum(den * s2_ref[sl, :] * f2r, axis=-1, keepdims=True)
+        pad = jnp.zeros((den.shape[0], 6), den.dtype)
+        outs.append(jnp.concatenate([r1 * scale, r2 * scale, pad], axis=-1))
+    out_ref[0, :, :] = jnp.concatenate(outs, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "c_per_event",
+                                             "interpret"))
+def fused_rows_contract(m1det, m2det, dl, inv_pe_prior, cosmo_batch,
+                        mass_batch, grids, hs, s1, s2, f1, f2,
+                        kernel: str = "epan", c_per_event: int = 8,
+                        interpret: bool = False):
+    """KDE + dark-siren contract over dense 128-sample chunk rows.
+
+    The flagship 'marginalized' path: each row is one chunk of one pixel's
+    samples (data.pixelize.chunk_rows_from_compact), so KDE work scales with
+    the REAL sample count instead of pixels x global-max occupancy (~2-3x
+    less than the rectangular compact layout at 1000 events).  Row
+    statistics (bandwidth h and the guarded 1/(h*sum_w_pixel) scale) are
+    computed by a cheap stats-only pass of :func:`fused_weights_kde` on the
+    rectangular layout and gathered per row by the caller.
+
+    Args:
+      m1det..inv_pe_prior: (R, chunk) rows, R = E_ev * C, C % 8 == 0, rows
+        event-major so every 8-row block belongs to one event.
+      grids: (E_ev, n_grid) analysis grids.
+      hs: (L, R, 2) per-(lambda, row) [bandwidth, scale]; scale = 0 kills
+        dead rows exactly.
+      s1, s2: (R, n_grid) static factors (p_cat/loc/trapz-weight products).
+      f1, f2: (L, E_ev, n_grid) per-lambda factors.
+
+    Returns:
+      r: (L, R, 2) per-row partial sums; sum rows of an event for the
+      per-event numerator pieces.
+    """
+    r_rows, chunk = dl.shape
+    if r_rows % 8 or c_per_event % 8 or chunk % 128:
+        raise ValueError("rows must tile: R % 8, C % 8, chunk % 128")
+    cfg = _RowsCfg(kernel=kernel, c_per_event=c_per_event,
+                   interpret=interpret)
+    return _rows_call(cfg, m1det, m2det, dl, inv_pe_prior, cosmo_batch,
+                      mass_batch, grids, hs, s1, s2, f1, f2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _rows_call(cfg, m1det, m2det, dl, inv_pe_prior, cosmo_batch, mass_batch,
+               grids, hs, s1, s2, f1, f2):
+    return _rows_pallas(cfg, m1det, m2det, dl, inv_pe_prior, cosmo_batch,
+                        mass_batch, grids, hs, s1, s2, f1, f2)
+
+
+def _rows_fwd(cfg, *args):
+    return _rows_pallas(cfg, *args), args
+
+
+def _rows_bwd(cfg, residuals, ct):
+    _, vjp = jax.vjp(functools.partial(_rows_reference, cfg), *residuals)
+    return vjp(ct)
+
+
+_rows_call.defvjp(_rows_fwd, _rows_bwd)
+
+
+def _rows_reference(cfg, m1det, m2det, dl, inv_pe_prior, cosmo_batch,
+                    mass_batch, grids, hs, s1, s2, f1, f2):
+    """Pure-XLA semantics of _rows_kernel (differentiation path + engine
+    oracle)."""
+    r_rows = dl.shape[0]
+    c = cfg.c_per_event
+    e_ev = r_rows // c
+    g = jnp.repeat(grids, c, axis=0)                   # (R, gp)
+
+    def per_lambda(cosmo, mass, hs_l, f1_l, f2_l):
+        z = cosmo_fns.z_from_dgw(cosmo, dl)
+        inv1pz = 1.0 / (1.0 + z)
+        w = p_m1m2(mass, m1det * inv1pz, m2det * inv1pz) * inv_pe_prior
+        h = hs_l[:, 0:1]
+        scale = hs_l[:, 1:2]
+        u = (g[:, :, None] - z[:, None, :]) / h[:, :, None]
+        if cfg.kernel == "epan":
+            k = 0.75 * jnp.maximum(0.0, 1.0 - u * u)
+        else:
+            k = jnp.exp(-0.5 * u * u) * (1.0 / _SQRT_2PI)
+        den = jnp.sum(w[:, None, :] * k, axis=-1)
+        f1r = jnp.repeat(f1_l, c, axis=0)
+        f2r = jnp.repeat(f2_l, c, axis=0)
+        r1 = jnp.sum(den * s1 * f1r, axis=-1, keepdims=True) * scale
+        r2 = jnp.sum(den * s2 * f2r, axis=-1, keepdims=True) * scale
+        return jnp.concatenate([r1, r2], axis=-1)      # (R, 2)
+
+    return jax.vmap(per_lambda)(cosmo_batch, mass_batch, hs, f1, f2)
+
+
+def _rows_pallas(cfg, m1det, m2det, dl, inv_pe_prior, cosmo_batch,
+                 mass_batch, grids, hs, s1, s2, f1, f2):
+    r_rows, chunk = dl.shape
+    c = cfg.c_per_event
+    e_ev = grids.shape[0]
+    n_grid = grids.shape[1]
+    gp = _round_up(n_grid, 128)
+    dt = dl.dtype
+
+    # Group G whole events (EB = G * C rows ~ 128) per program so the fixed
+    # program overhead amortizes over ~25 us of VPU work (see _rows_kernel).
+    g_target = max(1, 128 // c)
+    g_ev = next(g for g in range(g_target, 0, -1) if e_ev % g == 0)
+    eb = g_ev * c
+
+    cos_packed, cos_def, cos_shapes = _pack_leaves(cosmo_batch)
+    mass_packed, mass_def, mass_shapes = _pack_leaves(mass_batch)
+    L = hs.shape[0]
+
+    zpad = [(0, 0), (0, gp - n_grid)]
+    gpad = jnp.pad(grids.astype(dt), zpad,
+                   mode="edge").reshape(e_ev // g_ev, g_ev, gp)
+    s1p = jnp.pad(s1.astype(dt), zpad)                 # zeros: no tail term
+    s2p = jnp.pad(s2.astype(dt), zpad)
+    fpad = [(0, 0)] + zpad
+    # grouped singleton-free axes keep the last-two block dims equal to the
+    # array's (Mosaic rejects sub-8 blocks of a >1 second-to-last dim)
+    f1p = jnp.pad(f1.astype(dt), fpad).reshape(L, e_ev // g_ev, g_ev, gp)
+    f2p = jnp.pad(f2.astype(dt), fpad).reshape(L, e_ev // g_ev, g_ev, gp)
+
+    row_spec = pl.BlockSpec((eb, chunk), lambda rb, l: (rb, 0),
+                            memory_space=pltpu.VMEM)
+    zg_spec = pl.BlockSpec((1, g_ev, gp), lambda rb, l: (rb, 0, 0),
+                           memory_space=pltpu.VMEM)
+    hs_spec = pl.BlockSpec((1, eb, 2), lambda rb, l: (l, rb, 0),
+                           memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((eb, gp), lambda rb, l: (rb, 0),
+                          memory_space=pltpu.VMEM)
+    f_spec = pl.BlockSpec((1, 1, g_ev, gp), lambda rb, l: (l, rb, 0, 0),
+                          memory_space=pltpu.VMEM)
+    leaf_specs = [
+        pl.BlockSpec((1, 1, p.shape[-1]), lambda rb, l: (l, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for p in cos_packed + mass_packed
+    ]
+
+    kern = functools.partial(
+        _rows_kernel, cos_def=cos_def, cos_shapes=cos_shapes,
+        mass_def=mass_def, mass_shapes=mass_shapes,
+        n_cos=len(cos_packed), n_mass=len(mass_packed), kernel=cfg.kernel,
+        c_per_event=c, sub=8)
+
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((L, r_rows, 8), dt),
+        grid=(r_rows // eb, L),         # lambda innermost: rows reused
+        in_specs=[row_spec] * 4 + [zg_spec, hs_spec, s_spec, s_spec,
+                                   f_spec, f_spec] + leaf_specs,
+        out_specs=pl.BlockSpec((1, eb, 8), lambda rb, l: (l, rb, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=cfg.interpret,
+    )(m1det, m2det, dl, inv_pe_prior, gpad, hs.astype(dt), s1p, s2p,
+      f1p, f2p, *cos_packed, *mass_packed)
+    return out[:, :, :2]
 
 
 # ---------------------------------------------------------------------------
@@ -680,7 +961,8 @@ def _adjoint_impl(cfg: _FusedCfg, residuals, cotangents):
     from jax.dtypes import float0
 
     (m1det, m2det, dl, inv_pe_prior, cosmo_batch, mass_batch,
-     grids, n_real, dl_fill, ext_bounds) = residuals
+     grids, n_real, dl_fill, ext_bounds, s1, s2, f1, f2) = residuals
+    assert s1 is None, "contract mode uses the XLA backward"
     ct_den, ct_stats = cotangents
     e, s = dl.shape
     # Sc must be a multiple of 128 (lane-aligned dynamic slices of the
@@ -793,12 +1075,13 @@ def _adjoint_impl(cfg: _FusedCfg, residuals, cotangents):
     return (zero_ct(m1det), zero_ct(m2det), zero_ct(dl),
             zero_ct(inv_pe_prior), dcos, dmass, zero_ct(grids),
             zero_ct(n_real), zero_ct(dl_fill),
-            d_ext if d_ext is not None else None)
+            d_ext if d_ext is not None else None,
+            None, None, None, None)
 
 
 def _pallas_impl(cfg: _FusedCfg, m1det, m2det, dl, inv_pe_prior,
                  cosmo_batch, mass_batch, grids, n_real, dl_fill,
-                 ext_bounds=None):
+                 ext_bounds=None, s1=None, s2=None, f1=None, f2=None):
     e, s = dl.shape
     kernel, bw_method = cfg.kernel, cfg.bw_method
     cut_grid, n_grid = cfg.cut_grid, cfg.n_grid
@@ -832,17 +1115,49 @@ def _pallas_impl(cfg: _FusedCfg, m1det, m2det, dl, inv_pe_prior,
                         dl_fill.reshape(e, 1).astype(dl.dtype)]
         grid_specs += [pl.BlockSpec((_BLOCK_E, 1), lambda eb, l: (eb, 0),
                                     memory_space=pltpu.VMEM)] * 2
+    npix = cfg.npix
+    if npix:
+        # s1/s2 per-row static factors: zero-pad the grid columns (padded
+        # abscissae then contribute exactly nothing); f1/f2 per-(lambda,
+        # event) factors: block covers the row-block's event(s).
+        zpad = [(0, 0), (0, gp - n_grid)]
+        grid_inputs += [jnp.pad(s1.astype(dl.dtype), zpad),
+                        jnp.pad(s2.astype(dl.dtype), zpad)]
+        grid_specs += [pl.BlockSpec((_BLOCK_E, gp), lambda eb, l: (eb, 0),
+                                    memory_space=pltpu.VMEM)] * 2
+        fpad = [(0, 0)] + zpad
+        f1p = jnp.pad(f1.astype(dl.dtype), fpad)
+        f2p = jnp.pad(f2.astype(dl.dtype), fpad)
+        if npix == 1:
+            grid_inputs += [f1p, f2p]
+            f_spec = pl.BlockSpec((1, _BLOCK_E, gp), lambda eb, l: (l, eb, 0),
+                                  memory_space=pltpu.VMEM)
+        else:
+            # Mosaic requires the block's 2nd-to-last dim to divide 8 or
+            # equal the array's — a (1, 1, gp) block of (L, E, gp) is
+            # rejected; an extra singleton axis makes the last-two block
+            # dims (1, gp) equal to the array's.
+            e_ev = f1.shape[1]
+            grid_inputs += [f1p.reshape(L, e_ev, 1, gp),
+                            f2p.reshape(L, e_ev, 1, gp)]
+            blocks_per_event = npix // _BLOCK_E
+            f_spec = pl.BlockSpec(
+                (1, 1, 1, gp),
+                lambda eb, l: (l, eb // blocks_per_event, 0, 0),
+                memory_space=pltpu.VMEM)
+        grid_specs += [f_spec] * 2
     leaf_specs = [
         pl.BlockSpec((1, 1, p.shape[-1]), lambda eb, l: (l, 0, 0),
                      memory_space=pltpu.VMEM)
         for p in cos_packed + mass_packed
     ]
+    den_cols = 8 if npix else gp
     out_shape = [
-        jax.ShapeDtypeStruct((L, e, gp), dl.dtype),
+        jax.ShapeDtypeStruct((L, e, den_cols), dl.dtype),
         jax.ShapeDtypeStruct((L, e, 8), dl.dtype),
     ]
     out_specs = [
-        pl.BlockSpec((1, _BLOCK_E, gp), lambda eb, l: (l, eb, 0),
+        pl.BlockSpec((1, _BLOCK_E, den_cols), lambda eb, l: (l, eb, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, _BLOCK_E, 8), lambda eb, l: (l, eb, 0),
                      memory_space=pltpu.VMEM),
@@ -855,7 +1170,7 @@ def _pallas_impl(cfg: _FusedCfg, m1det, m2det, dl, inv_pe_prior,
         kernel=kernel, bw_method=bw_method, cut_grid=cut_grid,
         n_grid=n_grid, n_samples=s, block_s=block_s, den_scale=den_scale,
         logical_s=logical_s, has_ext_bounds=ext_bounds is not None,
-        stats_only=cfg.stats_only)
+        stats_only=cfg.stats_only, npix=npix)
 
     den, stats = pl.pallas_call(
         kern,
@@ -868,7 +1183,7 @@ def _pallas_impl(cfg: _FusedCfg, m1det, m2det, dl, inv_pe_prior,
     )(m1det, m2det, dl, inv_pe_prior, *grid_inputs, *cos_packed,
       *mass_packed)
 
-    den = den[:, :, :n_grid]
+    den = den[:, :, :2] if npix else den[:, :, :n_grid]
     return den, {
         "lo": stats[:, :, 0], "ub": stats[:, :, 1],
         "norms": stats[:, :, 2], "neff": stats[:, :, 3],
