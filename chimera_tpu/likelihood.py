@@ -847,15 +847,15 @@ def _fused_batch_marginalized_rows(hl: HyperLikelihood, pop_b) -> Array:
     sum_w = stats["sum_w"]
     tiny = jnp.asarray(jnp.finfo(h.dtype).tiny, h.dtype)
     ok = (sum_w > jnp.sqrt(tiny)) & jnp.isfinite(h) & (h > 0.0)
-    h_safe = jnp.where(ok, h, 1.0)
-    scale = jnp.where(ok, 1.0 / (h_safe * jnp.where(ok, sum_w, 1.0)), 0.0)
+    inv_h = jnp.where(ok, 1.0 / jnp.where(ok, h, 1.0), 1.0)
+    scale = jnp.where(ok, inv_h / jnp.where(ok, sum_w, 1.0), 0.0)
 
     s1, s2 = _marg_static_factors(hl)                      # (B, Nz)
     f1, f2, fR = _marg_lambda_factors(hl, pop_b)
 
     # gather per chunk row (row_pix is the pixel index within the event)
     gidx = (jnp.arange(nev)[:, None] * npix + rows["row_pix"]).reshape(r_rows)
-    hs = jnp.stack([h_safe[:, gidx], scale[:, gidx]], axis=-1)  # (L, R, 2)
+    hs = jnp.stack([inv_h[:, gidx], scale[:, gidx]], axis=-1)  # (L, R, 2)
 
     r = fused_rows_contract(
         rows["m1det"].reshape(r_rows, chunk),

@@ -521,20 +521,31 @@ def _rows_kernel(*refs, cos_def, cos_shapes, mass_def, mass_shapes,
     zg = zg_ref[0]                                     # (G, gp)
     eb = dl.shape[0]
     outs = []
+    row_slice = functools.partial(jax.lax.slice_in_dim, axis=0)
     for sb in range(eb // sub):
         sl = slice(sb * sub, (sb + 1) * sub)
         e_loc = (sb * sub) // c_per_event              # static: C % sub == 0
-        g = zg[e_loc:e_loc + 1, :]                     # (1, gp)
-        h = hs_ref[0, sl, 0:1]                         # (sub, 1)
+        # static lax slices, NOT z[sl, None, :]-style mixed indexing — the
+        # latter lowers to a gather Mosaic rejects
+        g = row_slice(zg, e_loc, e_loc + 1)            # (1, gp)
+        zc = row_slice(z, sb * sub, (sb + 1) * sub)    # (sub, chunk)
+        wc = row_slice(w, sb * sub, (sb + 1) * sub)
+        inv_h = hs_ref[0, sl, 0:1]                     # (sub, 1)
         scale = hs_ref[0, sl, 1:2]                     # inv_h / sum_w_pixel
-        u = (g[:, :, None] - z[sl, None, :]) / h[:, :, None]
+        # (sub, chunk, gp) orientation — samples on SUBLANES, grid on
+        # LANES — so the sample contraction is a cheap cross-sublane
+        # reduction (~1 op/vreg) instead of a cross-lane shuffle tree
+        # (~7 ops/vreg at chunk=128); measured 18.9 -> 4.8 ms/lambda at
+        # the 1000-event flagship.  (1/h as a multiply, not an in-loop
+        # divide.)
+        u = (g[:, None, :] - zc[:, :, None]) * inv_h[:, :, None]
         if kernel == "epan":
             k = 0.75 * jnp.maximum(0.0, 1.0 - u * u)
         else:
             k = jnp.exp(-0.5 * u * u) * (1.0 / _SQRT_2PI)
-        den = jnp.sum(w[sl, None, :] * k, axis=-1)     # (sub, gp)
-        f1r = f1[e_loc:e_loc + 1, :]
-        f2r = f2[e_loc:e_loc + 1, :]
+        den = jnp.sum(wc[:, :, None] * k, axis=1)      # (sub, gp)
+        f1r = row_slice(f1, e_loc, e_loc + 1)
+        f2r = row_slice(f2, e_loc, e_loc + 1)
         r1 = jnp.sum(den * s1_ref[sl, :] * f1r, axis=-1, keepdims=True)
         r2 = jnp.sum(den * s2_ref[sl, :] * f2r, axis=-1, keepdims=True)
         pad = jnp.zeros((den.shape[0], 6), den.dtype)
@@ -562,7 +573,7 @@ def fused_rows_contract(m1det, m2det, dl, inv_pe_prior, cosmo_batch,
       m1det..inv_pe_prior: (R, chunk) rows, R = E_ev * C, C % 8 == 0, rows
         event-major so every 8-row block belongs to one event.
       grids: (E_ev, n_grid) analysis grids.
-      hs: (L, R, 2) per-(lambda, row) [bandwidth, scale]; scale = 0 kills
+      hs: (L, R, 2) per-(lambda, row) [1/bandwidth, scale]; scale = 0 kills
         dead rows exactly.
       s1, s2: (R, n_grid) static factors (p_cat/loc/trapz-weight products).
       f1, f2: (L, E_ev, n_grid) per-lambda factors.
@@ -612,9 +623,9 @@ def _rows_reference(cfg, m1det, m2det, dl, inv_pe_prior, cosmo_batch,
         z = cosmo_fns.z_from_dgw(cosmo, dl)
         inv1pz = 1.0 / (1.0 + z)
         w = p_m1m2(mass, m1det * inv1pz, m2det * inv1pz) * inv_pe_prior
-        h = hs_l[:, 0:1]
+        inv_h = hs_l[:, 0:1]
         scale = hs_l[:, 1:2]
-        u = (g[:, :, None] - z[:, None, :]) / h[:, :, None]
+        u = (g[:, :, None] - z[:, None, :]) * inv_h[:, :, None]
         if cfg.kernel == "epan":
             k = 0.75 * jnp.maximum(0.0, 1.0 - u * u)
         else:
