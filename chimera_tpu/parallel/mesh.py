@@ -209,13 +209,21 @@ def shard_hyperlikelihood(hl: HyperLikelihood, mesh: Mesh) -> HyperLikelihood:
     ninj = hl.selection.theta_inj.n_detected
     sharded = NamedSharding(mesh, P(DATA_AXIS))
     replicated = NamedSharding(mesh, P())
+    multiproc = jax.process_count() > 1
 
     def place(x):
         if x is None or not hasattr(x, "ndim"):
             return x
-        if x.ndim >= 1 and x.shape[0] in (nev, ninj):
-            return jax.device_put(x, sharded)
-        return jax.device_put(x, replicated)
+        sh = sharded if (x.ndim >= 1 and x.shape[0] in (nev, ninj)) \
+            else replicated
+        if multiproc:
+            # every process holds the full (identically built) value;
+            # device_put cannot target a cross-process sharding, but a
+            # callback materializing each addressable shard can
+            val = np.asarray(x)
+            return jax.make_array_from_callback(val.shape, sh,
+                                                lambda idx, v=val: v[idx])
+        return jax.device_put(x, sh)
 
     return jax.tree_util.tree_map(place, hl)
 
@@ -252,8 +260,15 @@ def log_like_batch_sharded(hl: HyperLikelihood, hyper_batch: dict,
     from chimera_tpu.likelihood import _finish_batch, _sum_log_evs, batch_numerators
 
     batch_sharding = NamedSharding(mesh, P(PARAMS_AXIS))
-    hyper_batch = {k: jax.device_put(jnp.asarray(v), batch_sharding)
-                   for k, v in hyper_batch.items()}
+    if jax.process_count() > 1:
+        hyper_batch = {
+            k: jax.make_array_from_callback(
+                np.asarray(v).shape, batch_sharding,
+                lambda idx, val=np.asarray(v): val[idx])
+            for k, v in hyper_batch.items()}
+    else:
+        hyper_batch = {k: jax.device_put(jnp.asarray(v), batch_sharding)
+                       for k, v in hyper_batch.items()}
     specs = _data_specs(hl)
     batch_specs = {k: P(PARAMS_AXIS) for k in hyper_batch}
 

@@ -51,7 +51,47 @@ WORKER = textwrap.dedent("""
 
     total = float(global_sum(garr))
     assert total == 28.0, total
-    print(f"proc {pid} OK total={total}", flush=True)
+
+    # ---- the REAL thing: the sharded hyper-likelihood across processes ----
+    # Each process builds the same HyperLikelihood from seeded mocks, the
+    # events/injections shard over a global (params=2, data=4) mesh whose
+    # params axis spans the process boundary, and the sharded batch
+    # evaluation must match the process-local single-device value.  This is
+    # the in-program replacement for the reference's MPI 'both' scheme
+    # (parallel.py:280-344) actually crossing a process boundary.
+    from chimera_tpu import HyperLikelihood, SelectionFunction
+    from chimera_tpu.catalog import EmptyCatalog
+    from chimera_tpu.data.mock import make_mock_catalog, make_mock_injections
+    from chimera_tpu.models import (FLRW, MadauDickinsonRate, Population,
+                                    PowerLawPeak, compute_z_grids)
+    from chimera_tpu.parallel import shard_hyperlikelihood
+    from chimera_tpu.parallel.mesh import log_like_batch_sharded
+
+    cosmo = FLRW.create(H0=70.0, Om0=0.25, z_grid_res=500)
+    pop = Population.create(cosmo, PowerLawPeak.create(grid_res=500),
+                            MadauDickinsonRate.create(),
+                            gal_cat=EmptyCatalog())
+    cat = make_mock_catalog(jax.random.PRNGKey(42), pop, n_events=12,
+                            n_samples=128, snr_threshold=12.0)
+    inj, n_gen = make_mock_injections(jax.random.PRNGKey(7), pop,
+                                      n_generated=20_000, snr_threshold=12.0)
+    z_grids = compute_z_grids(cosmo, cat, cosmo_prior={"H0": [40., 120.]},
+                              z_int_res=64)
+    sel = SelectionFunction.create(inj, n_gen)
+    hl = HyperLikelihood.create(cat, z_grids, pop, sel)
+
+    h0s = np.linspace(55.0, 95.0, 8)
+    ref = np.asarray(hl.log_like_batch({"H0": jnp.asarray(h0s)}))
+
+    mesh2 = make_mesh(params=2, data=4)
+    hls = shard_hyperlikelihood(hl, mesh2)
+    out = log_like_batch_sharded(hls, {"H0": h0s}, mesh2)
+    for shard in out.addressable_shards:
+        got = np.asarray(shard.data).ravel()
+        want = ref[shard.index[0]].ravel()
+        np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-7)
+
+    print(f"proc {pid} OK total={total} likelihood OK", flush=True)
 """)
 
 
@@ -73,7 +113,7 @@ def test_two_process_global_mesh(tmp_path):
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out}"
-        assert f"proc {i} OK total=28.0" in out
+        assert f"proc {i} OK total=28.0 likelihood OK" in out
 
 
 def _free_port() -> int:
