@@ -7,6 +7,14 @@ from chimera_tpu.inference.hmc import (
     run_hmc,
     sample_hyperposterior,
 )
+from chimera_tpu.inference.chees import (
+    run_chees,
+    sample_hyperposterior_chees,
+)
+from chimera_tpu.inference.diagnostics import (
+    effective_sample_size,
+    rhat,
+)
 from chimera_tpu.inference.ensemble import (
     EnsembleState,
     init_state,
@@ -30,7 +38,11 @@ __all__ = [
     "make_transformed_log_prob",
     "make_transformed_log_prob_batch",
     "run_hmc",
+    "run_chees",
     "sample_hyperposterior",
+    "sample_hyperposterior_chees",
+    "effective_sample_size",
+    "rhat",
     "save_hmc",
     "load_hmc",
     "EnsembleState",
