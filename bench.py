@@ -2,13 +2,19 @@
 
 North star (BASELINE.json): full 1000-event evaluation < 10 ms per sample on
 TPU v5e-8.  This script measures ms per hyper-lambda on whatever backend JAX
-selects (the real chip under the driver), using the flagship spectral-siren
-configuration at O5-like scale: 1000 events x 4096 PE samples, 500-point
-z-grids, ~1e5 detected injections.
+selects (the real chip under the driver), for BOTH flagship configurations
+at O5-like scale:
+
+* spectral sirens: 1000 events x 4096 PE samples, 500-pt z-grids,
+  ~1e5 detected injections (reference: test1dspectral.ipynb at 10x events);
+* dark sirens ('marginalized', pixelated galaxy catalog): 1000 events x
+  ~15 pixels x 1024 PE samples, 500-pt z-grids (test1dgalaxies at 10x).
 
 Prints ONE JSON line:
   {"metric": "hyperlike_eval_ms_1kev", "value": <ms>, "unit": "ms",
-   "vs_baseline": <10ms / value>}
+   "vs_baseline": <10ms / value>, "spread_ms": <max-min over reps>,
+   "dark_marginalized_ms_1kev": <ms>, "dark_spread_ms": ...,
+   "dark_vs_baseline": ...}
 """
 
 from __future__ import annotations
@@ -19,8 +25,39 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compile cache: the flagship programs take tens of seconds to
+# compile through the tunneled TPU backend; cache them across bench runs
+# (driver round-end runs included).  Harmless on CPU.
+jax.config.update("jax_compilation_cache_dir", "/tmp/chimera_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
+def _host_cpu():
+    """Device context for mock generation and precompute.
+
+    Data prep is regime-1 host work (SURVEY.md 1); running it on the
+    benchmark TPU costs a compile + a ~0.3 s dispatch round-trip per call
+    through the tunneled backend (measured: the 1000-event dark-siren mock
+    spent 488 s generating data the CPU makes in seconds).  Only the
+    likelihood evaluation itself belongs on the chip."""
+    return jax.default_device(jax.devices("cpu")[0])
+
+
+def _to_bench_device(hl):
+    """Move the built pytree onto the benchmark chip (arrays created under
+    the host-CPU context are committed to CPU, and jit follows committed
+    arguments — without this the 'TPU' benchmark would silently run on
+    host)."""
+    return jax.device_put(hl, jax.devices()[0])
+
 
 def build(n_events=1000, n_samples=4096, n_inj=2_000_000, z_res=500):
+    with _host_cpu():
+        hl = _build(n_events, n_samples, n_inj, z_res)
+    return _to_bench_device(hl)
+
+
+def _build(n_events, n_samples, n_inj, z_res):
     from chimera_tpu import HyperLikelihood, SelectionFunction
     from chimera_tpu.catalog import EmptyCatalog
     from chimera_tpu.data.mock import make_mock_catalog, make_mock_injections
@@ -50,7 +87,7 @@ def build(n_events=1000, n_samples=4096, n_inj=2_000_000, z_res=500):
                                   cut_grid=None)
 
 
-def _time_batch(hl, batch=16, n_rep=5):
+def _time_batch(hl, batch=16, n_rep=5, spread=False):
     # NOTE: evaluate through the library's jitted entry point, which takes
     # the HyperLikelihood pytree as an ARGUMENT — closure-capturing it
     # would bake the PE/injection arrays into the program as constants and
@@ -58,21 +95,44 @@ def _time_batch(hl, batch=16, n_rep=5):
     h0s = jnp.linspace(55.0, 95.0, batch)
     out = hl.log_like_batch({"H0": h0s})
     jax.block_until_ready(out)  # compile + warmup
+    # second warmup: the first post-compile dispatch can still carry
+    # one-time costs (input transfers to the chip, tunnel buffer setup) —
+    # measured up to ~15 ms/lambda of spread on the first timed rep
+    jax.block_until_ready(hl.log_like_batch({"H0": h0s}))
     # hardware-numerics guard: round 2 found a TPU-only bf16-matmul
     # corruption that made dark-siren likelihoods inf on-chip while every
     # CPU test passed — a bench that times garbage must fail loudly.
     assert bool(jnp.isfinite(out).all()), "non-finite log-likelihoods"
-    best = float("inf")
+    reps = []
     for _ in range(n_rep):
         t0 = time.perf_counter()
         jax.block_until_ready(hl.log_like_batch({"H0": h0s}))
-        best = min(best, time.perf_counter() - t0)
-    return best / batch * 1e3
+        reps.append((time.perf_counter() - t0) / batch * 1e3)
+    if spread:
+        # in-process repeat spread (max-min over n_rep), so cross-round
+        # drift in the recorded headline is attributable to noise vs a
+        # real regression (round-2 VERDICT weak spot 4)
+        return min(reps), round(max(reps) - min(reps), 4)
+    return min(reps)
 
 
-def build_dark_full(n_events=128, n_samples=1024, n_pix=12, z_res=500,
-                    n_inj=200_000):
-    """'full' 3-D variant at scale (streamed sample axis)."""
+def build_dark(kind="marginalized", n_events=1000, n_samples=1024, n_pix=15,
+               z_res=500, n_inj=500_000, cut_grid=None, n_background=50_000):
+    """Dark-siren (pixelated galaxy catalog) configuration — the reference's
+    headline science case (test1dgalaxies at 10x events): 1000 events x
+    ~15 pixels x 1024 PE samples x 500-pt z-grids.
+
+    cut_grid=None is the recommended TPU config (docs/performance.md):
+    exact — the KDEs evaluate directly on the analysis grids — and it is
+    also the fastest (it unlocks the rows-contract fused kernel)."""
+    with _host_cpu():
+        hl = _build_dark(kind, n_events, n_samples, n_pix, z_res, n_inj,
+                         cut_grid, n_background)
+    return _to_bench_device(hl)
+
+
+def _build_dark(kind, n_events, n_samples, n_pix, z_res, n_inj, cut_grid,
+                n_background):
     from chimera_tpu import HyperLikelihood, SelectionFunction, pytree
     from chimera_tpu.catalog import DVdzCompleteness, EmptyCatalog
     from chimera_tpu.catalog.build import build_pixelated_catalog
@@ -88,22 +148,22 @@ def build_dark_full(n_events=128, n_samples=1024, n_pix=12, z_res=500,
                             gal_cat=EmptyCatalog())
     cat, truths = make_mock_catalog(
         jax.random.PRNGKey(11), pop, n_events=n_events, n_samples=n_samples,
-        snr_threshold=12.0, sigma_sky_rad=0.03, oversample=400,
-        return_truths=True)
+        snr_threshold=12.0, sigma_sky_rad=0.03,
+        oversample=max(100, 4 * 50_000 // n_events), return_truths=True)
     cat = pixelize_gw_catalog(cat, nside_list=[8, 16],
                               mean_npixels_event=n_pix, sky_conf=0.9)
     z_grids = compute_z_grids(cosmo, cat, cosmo_prior={"H0": [40.0, 120.0]},
                               z_int_res=z_res)
     gal = make_mock_galaxies(jax.random.PRNGKey(12), pop, truths,
-                             n_background=50_000)
+                             n_background=n_background)
     compl = DVdzCompleteness.create(z_range=(0.0, 3.0), kind="step")
     gc = build_pixelated_catalog(gal, cat, z_grids, cosmo, compl, z_err=0.01)
     pop = pytree.replace(pop, gal_cat=gc)
     inj, n_gen = make_mock_injections(jax.random.PRNGKey(13), pop,
                                       n_generated=n_inj, snr_threshold=12.0)
     sel = SelectionFunction.create(inj, n_gen)
-    return HyperLikelihood.create(cat, z_grids, pop, sel, kind="full",
-                                  binning=False)
+    return HyperLikelihood.create(cat, z_grids, pop, sel, kind=kind,
+                                  binning=False, cut_grid=cut_grid)
 
 
 def suite():
@@ -116,20 +176,20 @@ def suite():
         rows.append({"metric": f"hyperlike_eval_ms_{n_ev}ev",
                      "value": round(ms, 4), "unit": "ms"})
         print(json.dumps(rows[-1]), flush=True)
-    hl_full = build_dark_full()
+    hl_full = build_dark(kind="full", n_events=128, n_pix=12, n_inj=200_000)
     ms = _time_batch(hl_full, batch=4)
     rows.append({"metric": "hyperlike_full3d_ms_128ev",
                  "value": round(ms, 4), "unit": "ms"})
     print(json.dumps(rows[-1]), flush=True)
     from chimera_tpu import HyperLikelihood
 
-    hl_marg = HyperLikelihood.create(
-        hl_full.theta_gw, hl_full.z_grids, hl_full.population,
-        hl_full.selection, kind="marginalized", binning=False)
-    ms = _time_batch(hl_marg, batch=8)
-    rows.append({"metric": "hyperlike_marginalized_ms_128ev",
-                 "value": round(ms, 4), "unit": "ms"})
-    print(json.dumps(rows[-1]), flush=True)
+    for n_ev, batch in ((128, 8), (1000, 16)):
+        hl_marg = build_dark(n_events=n_ev, n_pix=12 if n_ev == 128 else 15,
+                             n_inj=200_000 if n_ev == 128 else 500_000)
+        ms = _time_batch(hl_marg, batch=batch)
+        rows.append({"metric": f"hyperlike_marginalized_ms_{n_ev}ev",
+                     "value": round(ms, 4), "unit": "ms"})
+        print(json.dumps(rows[-1]), flush=True)
     return rows
 
 
@@ -179,12 +239,21 @@ def main():
     if os.environ.get("BENCH_MESH"):
         suite_mesh()
         return
-    ms_per_lambda = _time_batch(build())
+    # Default (driver-recorded) run: BOTH flagship rows — spectral sirens
+    # (1000 events x 4096 samples) and dark sirens (1000 events x 15 pixels
+    # x 1024 samples, 'marginalized'), each with an in-process repeat
+    # spread so cross-round drift is attributable (noise vs regression).
+    ms_spec, spread_spec = _time_batch(build(), spread=True)
+    ms_dark, spread_dark = _time_batch(build_dark(), spread=True)
     print(json.dumps({
         "metric": "hyperlike_eval_ms_1kev",
-        "value": round(ms_per_lambda, 4),
+        "value": round(ms_spec, 4),
         "unit": "ms",
-        "vs_baseline": round(10.0 / ms_per_lambda, 3),
+        "vs_baseline": round(10.0 / ms_spec, 3),
+        "spread_ms": spread_spec,
+        "dark_marginalized_ms_1kev": round(ms_dark, 4),
+        "dark_spread_ms": spread_dark,
+        "dark_vs_baseline": round(10.0 / ms_dark, 3),
     }))
 
 

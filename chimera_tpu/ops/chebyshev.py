@@ -18,18 +18,37 @@ cosmology functions (validated in tests against the dense-table oracle).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 
 
 def cheb_nodes(n: int, a, b) -> Array:
     """Chebyshev-Gauss nodes mapped to [a, b] (ascending)."""
-    k = jnp.arange(n)
-    x = jnp.cos(jnp.pi * (k + 0.5) / n)  # descending in (-1, 1)
-    return 0.5 * (a + b) + 0.5 * (b - a) * x[::-1]
+    # Static node positions in f64 (the f32 cos of these small arguments is
+    # fine, but exactness here is free — n is a Python int).
+    x = np.cos(np.pi * (np.arange(n) + 0.5) / n)  # descending in (-1, 1)
+    x = jnp.asarray(x[::-1])
+    return 0.5 * (a + b) + 0.5 * (b - a) * x
+
+
+@lru_cache(maxsize=32)
+def _dct_basis(n: int) -> np.ndarray:
+    """Static DCT-II projection matrix, computed in f64 on the host.
+
+    Computing ``cos(pi * j * (k + 0.5) / n)`` in on-device f32 was the
+    round-3 dark-siren parity bottleneck: at n = 64 the arguments reach
+    ~200 rad, so f32 argument rounding alone puts ~1e-5 absolute noise in
+    the basis entries and ~3e-6 in every fitted coefficient — which the
+    KDE's 1/h sensitivity then amplifies ~40x into the per-event
+    integrals.  The matrix depends only on n (a Python int), so it is an
+    exact compile-time constant, not traced work."""
+    k = np.arange(n)
+    j = np.arange(n)
+    return np.cos(np.pi * j[:, None] * (k[None, :] + 0.5) / n)
 
 
 def chebfit_from_values(vals: Array) -> Array:
@@ -39,10 +58,7 @@ def chebfit_from_values(vals: Array) -> Array:
     cleanly into the jitted update graph.
     """
     n = vals.shape[-1]
-    k = jnp.arange(n)
-    j = jnp.arange(n)
-    # nodes were reversed to ascending; undo for the standard projection.
-    basis = jnp.cos(jnp.pi * j[:, None] * (k[None, :] + 0.5) / n)
+    basis = jnp.asarray(_dct_basis(n), dtype=vals.dtype)
     # full-precision matmul: TPU default (single-pass bf16) would put
     # ~1e-3 relative noise on the fitted coefficients and destroy the
     # engine's 1e-10 accuracy claim on real hardware

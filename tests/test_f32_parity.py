@@ -192,4 +192,9 @@ def test_f32_dark_siren_parity(tmp_path, fiducial_population):
                    check=True, env=env, timeout=500)
     ll32 = np.asarray(json.load(open(out))["ll"])
     rel = np.abs((ll32 - ll64) / ll64)
-    assert rel.max() < 1e-5, f"dark-siren f32 parity violated: {rel}"
+    # 1e-6 is the BASELINE.md acceptance gate.  Reached in round 3 by fixing
+    # the f32 DCT basis in ops.chebyshev (cos of ~200-rad arguments computed
+    # on-device in f32 put ~3e-6 noise on every fitted coefficient; the
+    # static basis is now an exact host-f64 constant) — measured 5.7e-6 ->
+    # 7.0e-7 on this mock.
+    assert rel.max() < 1e-6, f"dark-siren f32 parity violated: {rel}"
