@@ -164,6 +164,7 @@ class HyperLikelihood:
 
     def log_like(self, **hyper) -> Array:
         if _resolved_batch_engine(self) == "fused":
+            _warn_single_eval_once()
             batch = {k: jnp.asarray(v)[None] for k, v in hyper.items()}
             return _jit_log_hyperlikelihood_batch(self, batch)[0]
         return _jit_log_hyperlikelihood(self, dict(hyper))
@@ -173,6 +174,28 @@ class HyperLikelihood:
 
     def compute_all(self, **hyper):
         return _jit_compute_all(self, dict(hyper))
+
+
+_single_eval_warned = False
+
+
+def _warn_single_eval_once() -> None:
+    """One-time nudge away from serial single-lambda loops on TPU.
+
+    ``log_like`` wraps a batch of 1, so every call pays the fixed per-batch
+    population-table rebuild (~30 ms on-chip — docs/performance.md).  A user
+    porting the reference's serial lambda scan (test1dspectral.ipynb) gets
+    ~5x worse than necessary with no signal; warn once per process."""
+    global _single_eval_warned
+    if not _single_eval_warned:
+        from chimera_tpu.config import logger
+
+        logger.warning(
+            "HyperLikelihood.log_like evaluates a batch of ONE hyper-lambda;"
+            " each call pays the fixed ~30 ms per-batch table-rebuild cost."
+            " For scans and samplers use log_like_batch (see"
+            " docs/performance.md).")
+        _single_eval_warned = True
 
 
 _PER_SAMPLE_FIELDS = ("m1det", "m2det", "dL", "phi", "theta", "ra", "dec",

@@ -6,8 +6,12 @@ Run on 8 virtual CPU devices:
   XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
       python examples/sharded_inference.py
 
-On a real slice, jax.distributed bring-up is one call:
-  from chimera_tpu.parallel import init_distributed; init_distributed()
+On a real pod slice, jax.distributed bring-up is one call — pass
+``require=True`` so a mis-configured deployment fails loudly instead of
+silently proceeding single-process (every process would quietly compute on
+its local chips only):
+  from chimera_tpu.parallel import init_distributed
+  init_distributed(require=True)
 """
 
 import pathlib

@@ -21,6 +21,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent compile cache: the fast suite is compile-heavy on a 1-core
+# box; caching compiled programs across pytest runs cuts warm reruns
+# substantially and costs nothing on a cold run.
+jax.config.update("jax_compilation_cache_dir", "/tmp/chimera_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import jax.numpy as jnp  # noqa: E402
 import pytest  # noqa: E402
