@@ -175,3 +175,30 @@ def test_homogeneous_completeness(fiducial_population):
     assert 0.0 < fr <= 1.0 + 1e-9
     pb = np.asarray(compl.p_bkg(cosmo, zq))
     assert np.isfinite(pb).all() and (pb >= 0).all()
+
+
+def test_build_engines_agree(dark_siren_setup, fiducial_population):
+    """The on-device segment-scan p_cat build (SURVEY 7.2-7: jitted scan
+    instead of the reference's per-(event, pixel) host loops,
+    catalog.py:137-231) must reproduce the host numpy oracle exactly:
+    same voxel membership (CSR searchsorted vs np.isin), same per-galaxy
+    normalized Gaussians, same n_gal counts."""
+    from chimera_tpu.catalog.build import build_pixelated_catalog
+    from chimera_tpu.catalog import DVdzCompleteness
+    from chimera_tpu.data.mock import make_mock_galaxies
+
+    theta, z_grids, pop, _, truths = dark_siren_setup
+    galaxies = make_mock_galaxies(jax.random.PRNGKey(55), fiducial_population,
+                                  truths, n_background=5_000)
+    compl = DVdzCompleteness.create(z_range=(0.0, 3.0), kind="step")
+    kw = dict(z_err=0.015, sumgauss="dVdz")
+    host = build_pixelated_catalog(galaxies, theta, z_grids,
+                                   fiducial_population.cosmo, compl,
+                                   engine="host", **kw)
+    dev = build_pixelated_catalog(galaxies, theta, z_grids,
+                                  fiducial_population.cosmo, compl,
+                                  engine="device", **kw)
+    np.testing.assert_allclose(np.asarray(dev.p_cat), np.asarray(host.p_cat),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(dev.n_gal),
+                                  np.asarray(host.n_gal))
