@@ -176,11 +176,14 @@ def suite():
         rows.append({"metric": f"hyperlike_eval_ms_{n_ev}ev",
                      "value": round(ms, 4), "unit": "ms"})
         print(json.dumps(rows[-1]), flush=True)
-    hl_full = build_dark(kind="full", n_events=128, n_pix=12, n_inj=200_000)
-    ms = _time_batch(hl_full, batch=4)
-    rows.append({"metric": "hyperlike_full3d_ms_128ev",
-                 "value": round(ms, 4), "unit": "ms"})
-    print(json.dumps(rows[-1]), flush=True)
+    for n_ev, n_pix, n_inj, batch in ((128, 12, 200_000, 4),
+                                      (1000, 15, 500_000, 4)):
+        hl_full = build_dark(kind="full", n_events=n_ev, n_pix=n_pix,
+                             n_inj=n_inj)
+        ms = _time_batch(hl_full, batch=batch)
+        rows.append({"metric": f"hyperlike_full3d_ms_{n_ev}ev",
+                     "value": round(ms, 4), "unit": "ms"})
+        print(json.dumps(rows[-1]), flush=True)
     from chimera_tpu import HyperLikelihood
 
     for n_ev, batch in ((128, 8), (1000, 16)):
