@@ -125,6 +125,25 @@ def _jitted_runner(log_prob_fn, n_steps: int, a: float, thin: int):
     return jax.jit(_scan_runner(log_prob_fn, n_steps, a, thin))
 
 
+@functools.partial(jax.jit, static_argnames=("param_names",
+                                              "extra_log_prior"))
+def _vector_log_prob(hl, param_names, lo, hi, extra_log_prior, vecs):
+    from chimera_tpu.likelihood import log_hyperlikelihood_batch
+
+    lo_safe = jnp.where(jnp.isfinite(lo), lo, -1e30)
+    hi_safe = jnp.where(jnp.isfinite(hi), hi, 1e30)
+    safe = jnp.clip(vecs, lo_safe, hi_safe)
+    lam = {p: safe[:, i] for i, p in enumerate(param_names)}
+    logp = log_hyperlikelihood_batch(hl, lam)
+    if extra_log_prior is not None:
+        logp = logp + jax.vmap(
+            lambda v: extra_log_prior(
+                {p: v[i] for i, p in enumerate(param_names)}))(safe)
+    in_bounds = jnp.all((vecs >= lo) & (vecs <= hi), axis=-1)
+    logp = jnp.where(in_bounds, logp, -jnp.inf)
+    return jnp.where(jnp.isnan(logp), -jnp.inf, logp)
+
+
 def make_vector_log_prob(hl, param_names: list[str],
                          bounds: dict[str, tuple[float, float]] | None = None,
                          extra_log_prior=None):
@@ -135,27 +154,22 @@ def make_vector_log_prob(hl, param_names: list[str],
     ``log_hyperlikelihood_batch`` so walker proposals ride the fused Pallas
     kernel on TPU.  Out-of-bounds proposals are clamped into bounds for the
     (dense-batch) evaluation and masked to -inf afterwards — same results
-    as the per-walker gate, without breaking the batch."""
-    from chimera_tpu.likelihood import log_hyperlikelihood_batch
+    as the per-walker gate, without breaking the batch.
 
+    The returned function is jitted in ARGUMENT form (the HyperLikelihood
+    pytree is an operand, not a closure constant): direct calls compile
+    once and reuse the program across hl instances of the same shape, and
+    the PE/injection arrays never bloat the compile payload on tunneled
+    backends (see bench.py's note).  Inside the sampler's own jitted step
+    the nested jit is simply inlined."""
     lo = jnp.array([bounds[p][0] if bounds and p in bounds else -jnp.inf
                     for p in param_names])
     hi = jnp.array([bounds[p][1] if bounds and p in bounds else jnp.inf
                     for p in param_names])
-    lo_safe = jnp.where(jnp.isfinite(lo), lo, -1e30)
-    hi_safe = jnp.where(jnp.isfinite(hi), hi, 1e30)
+    names = tuple(param_names)
 
     def batch(vecs):
-        safe = jnp.clip(vecs, lo_safe, hi_safe)
-        lam = {p: safe[:, i] for i, p in enumerate(param_names)}
-        logp = log_hyperlikelihood_batch(hl, lam)
-        if extra_log_prior is not None:
-            logp = logp + jax.vmap(
-                lambda v: extra_log_prior(
-                    {p: v[i] for i, p in enumerate(param_names)}))(safe)
-        in_bounds = jnp.all((vecs >= lo) & (vecs <= hi), axis=-1)
-        logp = jnp.where(in_bounds, logp, -jnp.inf)
-        return jnp.where(jnp.isnan(logp), -jnp.inf, logp)
+        return _vector_log_prob(hl, names, lo, hi, extra_log_prior, vecs)
 
     return batch
 

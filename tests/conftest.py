@@ -25,7 +25,7 @@ jax.config.update("jax_enable_x64", True)
 # box; caching compiled programs across pytest runs cuts warm reruns
 # substantially and costs nothing on a cold run.
 jax.config.update("jax_compilation_cache_dir", "/tmp/chimera_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import jax.numpy as jnp  # noqa: E402
 import pytest  # noqa: E402
@@ -51,9 +51,11 @@ def fiducial_population():
 
 @pytest.fixture(scope="session")
 def mock_catalog(fiducial_population):
+    # 16 events = 2 fused event-tiles (multi-tile coverage at half the
+    # interpret-mode trace/lowering cost of the old 24).
     key = jax.random.PRNGKey(42)
     return make_mock_catalog(
-        key, fiducial_population, n_events=24, n_samples=256,
+        key, fiducial_population, n_events=16, n_samples=256,
         snr_threshold=12.0)
 
 
@@ -61,7 +63,7 @@ def mock_catalog(fiducial_population):
 def mock_injections(fiducial_population):
     key = jax.random.PRNGKey(7)
     return make_mock_injections(
-        key, fiducial_population, n_generated=50_000, snr_threshold=12.0)
+        key, fiducial_population, n_generated=20_000, snr_threshold=12.0)
 
 
 @pytest.fixture(scope="session")
@@ -69,3 +71,45 @@ def mock_z_grids(fiducial_population, mock_catalog):
     return compute_z_grids(
         fiducial_population.cosmo, mock_catalog,
         cosmo_prior={"H0": [30.0, 150.0]}, z_int_res=200)
+
+
+@pytest.fixture(scope="session")
+def dark_siren_setup(fiducial_population):
+    """ONE shared dark-siren (pixelated galaxy catalog) setup.
+
+    Session-scoped because three modules (fused-kernel parity, pixelated
+    likelihood, plotting) used to each build a near-identical fixture —
+    three mock catalogs, three pixelizations, three galaxy-catalog builds —
+    which dominated their setup time on the 1-core test box.
+
+    Returns ``(theta, z_grids, pop_pix, sel, truths)``: 8 events (one fused
+    event-tile) x 256 PE samples, nside in {8, 16}, ~6 pixels/event,
+    100-pt z-grids, 12k background + clustered host galaxies.
+    """
+    from chimera_tpu import SelectionFunction, pytree
+    from chimera_tpu.catalog import DVdzCompleteness
+    from chimera_tpu.catalog.build import build_pixelated_catalog
+    from chimera_tpu.data.mock import make_mock_galaxies
+    from chimera_tpu.data.pixelize import pixelize_gw_catalog
+
+    pop = fiducial_population
+    k_cat, k_gal, k_inj = jax.random.split(jax.random.PRNGKey(123), 3)
+    theta, truths = make_mock_catalog(
+        k_cat, pop, n_events=8, n_samples=256, snr_threshold=14.0,
+        sigma_sky_rad=0.03, oversample=400, return_truths=True)
+    theta = pixelize_gw_catalog(theta, nside_list=[8, 16],
+                                mean_npixels_event=6, sky_conf=0.9)
+    z_grids = compute_z_grids(pop.cosmo, theta,
+                              cosmo_prior={"H0": [40.0, 120.0]},
+                              z_int_res=100)
+    galaxies = make_mock_galaxies(k_gal, pop, truths, n_background=12_000)
+    compl = DVdzCompleteness.create(z_range=(0.0, 3.0), kind="step")
+    gal_cat = build_pixelated_catalog(galaxies, theta, z_grids, pop.cosmo,
+                                      compl, z_err=0.01)
+    pop_pix = pytree.replace(pop, gal_cat=gal_cat)
+    # 40k generated -> ~750 detected: enough to clear the selection
+    # N_eff gate (20k leaves n_exp gated to zero -> -inf likelihoods)
+    theta_inj, n_inj = make_mock_injections(k_inj, pop, n_generated=40_000,
+                                            snr_threshold=14.0)
+    sel = SelectionFunction.create(theta_inj, n_inj)
+    return theta, z_grids, pop_pix, sel, truths

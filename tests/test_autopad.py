@@ -20,34 +20,31 @@ import numpy as np
 import pytest
 
 from chimera_tpu import HyperLikelihood, SelectionFunction, pytree
-from chimera_tpu.catalog import EmptyCatalog
-from chimera_tpu.data.mock import make_mock_catalog, make_mock_injections
 from chimera_tpu.likelihood import (
     _fused_eligible,
     _resolved_batch_engine,
     log_hyperlikelihood_batch,
 )
-from chimera_tpu.models import (
-    FLRW,
-    MadauDickinsonRate,
-    Population,
-    PowerLawPeak,
-    compute_z_grids,
-)
+from chimera_tpu.models import compute_z_grids
 
 
 @pytest.fixture(scope="module")
-def odd_setup():
-    """11 events x 200 samples — neither axis tiles without padding."""
-    cosmo = FLRW.create(H0=70.0, Om0=0.25, z_grid_res=500)
-    pop = Population.create(cosmo, PowerLawPeak.create(grid_res=500),
-                            MadauDickinsonRate.create(),
-                            gal_cat=EmptyCatalog())
-    cat = make_mock_catalog(jax.random.PRNGKey(42), pop, n_events=11,
-                            n_samples=200, snr_threshold=12.0)
-    inj, n_gen = make_mock_injections(jax.random.PRNGKey(7), pop,
-                                      n_generated=20_000, snr_threshold=12.0)
-    z_grids = compute_z_grids(cosmo, cat, cosmo_prior={"H0": [40.0, 120.0]},
+def odd_setup(fiducial_population, mock_catalog, mock_injections):
+    """11 events x 200 samples — neither axis tiles without padding.
+
+    The odd-shaped catalog is SLICED out of the session mock (a PE cloud
+    restricted to fewer samples is still a valid PE cloud) — regenerating
+    mocks at the odd shapes would recompile the whole generator chain for
+    shapes used nowhere else.
+    """
+    import jax.tree_util as jtu
+
+    pop = fiducial_population
+    cat = jtu.tree_map(lambda a: a[:11, :200] if a.ndim == 2 else a[:11],
+                       mock_catalog)
+    inj, n_gen = mock_injections
+    z_grids = compute_z_grids(pop.cosmo, cat,
+                              cosmo_prior={"H0": [40.0, 120.0]},
                               z_int_res=64)
     sel = SelectionFunction.create(inj, n_gen)
     return cat, z_grids, pop, sel
@@ -77,20 +74,20 @@ def test_padding_is_invariant(odd_setup, cut_grid):
         theta_gw=_sort_samples_by_distance(cat.with_derived()),
         z_grids=z_grids, population=pop, selection=sel, kind="1d",
         binning=False, cut_grid=cut_grid, kde_engine="xla")
-    h0s = jnp.linspace(55.0, 95.0, 5)
-    a = np.asarray(log_hyperlikelihood_batch(hl, {"H0": h0s}))
-    b = np.asarray(log_hyperlikelihood_batch(hl_raw, {"H0": h0s}))
+    h0s = jnp.linspace(55.0, 95.0, 3)
+    a = np.asarray(hl.log_like_batch({"H0": h0s}))
+    b = np.asarray(hl_raw.log_like_batch({"H0": h0s}))
     np.testing.assert_allclose(a, b, rtol=1e-12)
 
 
 def test_fused_matches_xla_with_padding(odd_setup):
     cat, z_grids, pop, sel = odd_setup
     hl = HyperLikelihood.create(cat, z_grids, pop, sel, binning=False)
-    h0s = jnp.linspace(55.0, 95.0, 4)
-    a = np.asarray(log_hyperlikelihood_batch(
-        pytree.replace(hl, kde_engine="xla"), {"H0": h0s}))
-    b = np.asarray(log_hyperlikelihood_batch(
-        pytree.replace(hl, kde_engine="fused"), {"H0": h0s}))
+    h0s = jnp.linspace(55.0, 95.0, 3)
+    a = np.asarray(
+        pytree.replace(hl, kde_engine="xla").log_like_batch({"H0": h0s}))
+    b = np.asarray(
+        pytree.replace(hl, kde_engine="fused").log_like_batch({"H0": h0s}))
     assert np.isfinite(b).all()
     np.testing.assert_allclose(b, a, rtol=1e-8)
 

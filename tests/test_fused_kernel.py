@@ -38,25 +38,26 @@ def test_eligibility(spectral_hl):
 @pytest.mark.parametrize("cut_grid", [2.0, None])
 def test_fused_matches_vmap_path(spectral_hl, kernel, cut_grid):
     hl = pytree.replace(spectral_hl, kernel=kernel, cut_grid=cut_grid)
-    h0s = jnp.linspace(55.0, 95.0, 5)
-    expect = np.asarray(log_hyperlikelihood_batch(
-        pytree.replace(hl, kde_engine="xla"), {"H0": h0s}))
-    got = np.asarray(log_hyperlikelihood_batch(
-        pytree.replace(hl, kde_engine="fused"), {"H0": h0s}))
+    h0s = jnp.linspace(55.0, 95.0, 3)
+    expect = np.asarray(
+        pytree.replace(hl, kde_engine="xla").log_like_batch({"H0": h0s}))
+    got = np.asarray(
+        pytree.replace(hl, kde_engine="fused").log_like_batch({"H0": h0s}))
     np.testing.assert_allclose(got, expect, rtol=1e-8)
 
 
 def test_fused_multi_param(spectral_hl):
     batch = {"H0": jnp.array([65.0, 75.0]), "Om0": jnp.array([0.2, 0.35]),
              "mu_g": jnp.array([33.0, 35.0])}
-    expect = np.asarray(log_hyperlikelihood_batch(
-        pytree.replace(spectral_hl, kde_engine="xla"), batch))
-    got = np.asarray(log_hyperlikelihood_batch(
-        pytree.replace(spectral_hl, kde_engine="fused"), batch))
+    expect = np.asarray(
+        pytree.replace(spectral_hl, kde_engine="xla").log_like_batch(batch))
+    got = np.asarray(
+        pytree.replace(spectral_hl, kde_engine="fused").log_like_batch(batch))
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got, expect, rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_adjoint_bwd_odd_grid_width(fiducial_population, mock_catalog,
                                     mock_injections):
     """Regression: grid widths whose 128-padding is not a multiple of 256
@@ -95,8 +96,12 @@ def test_adjoint_bwd_matches_xla_bwd(spectral_hl):
         return jnp.sum(log_hyperlikelihood_batch(hl_, batch))
 
     for wrt, val in (("H0-direction", 70.0),):
-        gx = jax.grad(lambda v: loss(
-            pytree.replace(hl, grad_engine="xla"), v))(val)
+        # jit the XLA-recompute side (pure-XLA graph: compiles well and the
+        # program persists in the compile cache); the pallas-adjoint side
+        # stays eager (outer jit of interpret-mode pallas lowers a giant
+        # unrolled-grid graph).
+        gx = jax.jit(jax.grad(lambda v: loss(
+            pytree.replace(hl, grad_engine="xla"), v)))(val)
         gp = jax.grad(lambda v: loss(
             pytree.replace(hl, grad_engine="pallas"), v))(val)
         assert np.isfinite(float(gp))
@@ -107,42 +112,22 @@ def test_fused_respects_event_mask(spectral_hl):
     """Padding events (zero mask) must not change the result."""
     from chimera_tpu.parallel import pad_events
 
-    hl_pad = pad_events(spectral_hl, 16)  # 24 -> 32 events
+    hl_pad = pad_events(spectral_hl, 24)  # 16 -> 24 events
     h0s = jnp.linspace(60.0, 90.0, 3)
-    a = np.asarray(log_hyperlikelihood_batch(
-        pytree.replace(spectral_hl, kde_engine="fused"), {"H0": h0s}))
-    b = np.asarray(log_hyperlikelihood_batch(
-        pytree.replace(hl_pad, kde_engine="fused"), {"H0": h0s}))
+    a = np.asarray(
+        pytree.replace(spectral_hl, kde_engine="fused")
+        .log_like_batch({"H0": h0s}))
+    b = np.asarray(
+        pytree.replace(hl_pad, kde_engine="fused")
+        .log_like_batch({"H0": h0s}))
     np.testing.assert_allclose(b, a, rtol=1e-10)
 
 
 @pytest.fixture(scope="module")
-def dark_hl(fiducial_population):
-    from chimera_tpu.catalog import DVdzCompleteness
-    from chimera_tpu.catalog.build import build_pixelated_catalog
-    from chimera_tpu.data.mock import (make_mock_catalog, make_mock_galaxies,
-                                       make_mock_injections)
-    from chimera_tpu.data.pixelize import pixelize_gw_catalog
-    from chimera_tpu.models import compute_z_grids
-
-    pop = fiducial_population
-    theta, truths = make_mock_catalog(
-        jax.random.PRNGKey(77), pop, n_events=8, n_samples=256,
-        sigma_sky_rad=0.03, oversample=400, return_truths=True)
-    theta = pixelize_gw_catalog(theta, nside_list=[8, 16],
-                                mean_npixels_event=6, sky_conf=0.9)
-    z_grids = compute_z_grids(pop.cosmo, theta,
-                              cosmo_prior={"H0": [40.0, 120.0]},
-                              z_int_res=100)
-    gal = make_mock_galaxies(jax.random.PRNGKey(78), pop, truths,
-                             n_background=8_000)
-    compl = DVdzCompleteness.create(z_range=(0.0, 3.0), kind="step")
-    gc = build_pixelated_catalog(gal, theta, z_grids, pop.cosmo, compl,
-                                 z_err=0.01)
-    pop_pix = pytree.replace(pop, gal_cat=gc)
-    inj, n_inj = make_mock_injections(jax.random.PRNGKey(79), pop,
-                                      n_generated=20_000)
-    sel = SelectionFunction.create(inj, n_inj)
+def dark_hl(dark_siren_setup):
+    # Shared session dark-siren mock (see conftest) — this module only
+    # needs the (theta, z_grids, pop_pix, sel) tuple.
+    theta, z_grids, pop_pix, sel, _truths = dark_siren_setup
     return theta, z_grids, pop_pix, sel
 
 
@@ -155,15 +140,16 @@ def test_fused_pixelated_matches_vmap(dark_hl, kind, cut_grid):
     hl = HyperLikelihood.create(theta, z_grids, pop_pix, sel, kind=kind,
                                 binning=False, cut_grid=cut_grid)
     assert _fused_eligible(hl), "fixture should produce an eligible config"
-    h0s = jnp.linspace(55.0, 95.0, 4)
-    expect = np.asarray(log_hyperlikelihood_batch(
-        pytree.replace(hl, kde_engine="xla"), {"H0": h0s}))
-    got = np.asarray(log_hyperlikelihood_batch(
-        pytree.replace(hl, kde_engine="fused"), {"H0": h0s}))
+    h0s = jnp.linspace(55.0, 95.0, 3)
+    expect = np.asarray(
+        pytree.replace(hl, kde_engine="xla").log_like_batch({"H0": h0s}))
+    got = np.asarray(
+        pytree.replace(hl, kde_engine="fused").log_like_batch({"H0": h0s}))
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got, expect, rtol=1e-8)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("kind,cut_grid", [("approximate", 2.0),
                                            ("marginalized", None),
                                            ("marginalized", 2.0)])
@@ -185,6 +171,29 @@ def test_fused_pixelated_grad_matches_vmap(dark_hl, kind, cut_grid):
             hl, kde_engine="fused", grad_engine=grad_engine), v))(72.0))
         assert np.isfinite(gf), grad_engine
         np.testing.assert_allclose(gf, gx, rtol=1e-6, err_msg=grad_engine)
+
+
+def test_dark_grad_adjoint_vs_recompute(dark_hl):
+    """Fast-loop dark-siren gradient gate: the adjoint Pallas backward
+    (grad_engine='pallas') equals the pure-XLA recompute backward of the
+    SAME fused forward, on the two-pass marginalized+cut_grid chain.  The
+    independent stage-by-stage XLA reference (an expensive eager backward)
+    is covered by the slow-marked matrix above."""
+    theta, z_grids, pop_pix, sel = dark_hl
+    hl = HyperLikelihood.create(theta, z_grids, pop_pix, sel,
+                                kind="marginalized", binning=False,
+                                cut_grid=2.0, kde_engine="fused")
+
+    def loss(hl_, h0):
+        return jnp.sum(log_hyperlikelihood_batch(
+            hl_, {"H0": jnp.stack([h0, h0 + 3.0])}))
+
+    gr = float(jax.jit(jax.grad(lambda v: loss(
+        pytree.replace(hl, grad_engine="xla"), v)))(72.0))
+    gp = float(jax.grad(lambda v: loss(
+        pytree.replace(hl, grad_engine="pallas"), v))(72.0))
+    assert np.isfinite(gp)
+    np.testing.assert_allclose(gp, gr, rtol=1e-6)
 
 
 def test_compaction_partitions_samples(dark_hl):
@@ -221,14 +230,11 @@ def test_fused_mgflrw(mock_catalog, mock_injections, mock_z_grids):
     hl = HyperLikelihood.create(mock_catalog, mock_z_grids, pop, sel,
                                 binning=False, cut_grid=None)
     assert _fused_eligible(hl)
-    from chimera_tpu.likelihood import log_hyperlikelihood
-
     batch = {"H0": jnp.array([65.0, 75.0]), "Xi0": jnp.array([0.9, 1.4])}
-    expect = np.asarray(jax.vmap(
-        lambda lam: log_hyperlikelihood(
-            pytree.replace(hl, kde_engine="xla"), lam))(batch))
-    got = np.asarray(log_hyperlikelihood_batch(
-        pytree.replace(hl, kde_engine="fused"), batch))
+    expect = np.asarray(
+        pytree.replace(hl, kde_engine="xla").log_like_batch(batch))
+    got = np.asarray(
+        pytree.replace(hl, kde_engine="fused").log_like_batch(batch))
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got, expect, rtol=1e-8)
 

@@ -8,39 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from chimera_tpu import HyperLikelihood, SelectionFunction, pytree
-from chimera_tpu.catalog import DVdzCompleteness
-from chimera_tpu.catalog.build import build_pixelated_catalog
-from chimera_tpu.data.mock import (
-    make_mock_catalog,
-    make_mock_galaxies,
-    make_mock_injections,
-)
-from chimera_tpu.data.pixelize import pixelize_gw_catalog
-from chimera_tpu.models import compute_z_grids
-
-
-@pytest.fixture(scope="module")
-def dark_siren_setup(fiducial_population):
-    pop = fiducial_population
-    key = jax.random.PRNGKey(123)
-    k_cat, k_gal, k_inj = jax.random.split(key, 3)
-    theta, truths = make_mock_catalog(
-        k_cat, pop, n_events=10, n_samples=256, snr_threshold=14.0,
-        sigma_sky_rad=0.03, oversample=400, return_truths=True)
-    theta = pixelize_gw_catalog(theta, nside_list=[8, 16, 32],
-                                mean_npixels_event=8, sky_conf=0.9)
-    z_grids = compute_z_grids(pop.cosmo, theta,
-                              cosmo_prior={"H0": [40.0, 120.0]}, z_int_res=150)
-    galaxies = make_mock_galaxies(k_gal, pop, truths, n_background=20_000)
-    compl = DVdzCompleteness.create(z_range=(0.0, 3.0), kind="step")
-    gal_cat = build_pixelated_catalog(
-        galaxies, theta, z_grids, pop.cosmo, compl, z_err=0.01)
-    pop_pix = pytree.replace(pop, gal_cat=gal_cat)
-    theta_inj, n_inj = make_mock_injections(k_inj, pop, n_generated=60_000,
-                                            snr_threshold=14.0)
-    sel = SelectionFunction.create(theta_inj, n_inj)
-    return theta, z_grids, pop_pix, sel, truths
+from chimera_tpu import HyperLikelihood, pytree
 
 
 def _make_hl(setup, kind, **kw):

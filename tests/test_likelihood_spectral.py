@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 
 from chimera_tpu import HyperLikelihood, SelectionFunction
-from chimera_tpu.likelihood import log_hyperlikelihood, log_hyperlikelihood_batch
+from chimera_tpu.likelihood import log_hyperlikelihood
 
 
 @pytest.fixture(scope="module")
@@ -35,12 +35,12 @@ def test_loglike_finite_at_fiducial(hyperlike):
 
 
 def test_h0_scan_peaks_near_fiducial(hyperlike):
-    h0_grid = jnp.linspace(40.0, 120.0, 33)
+    h0_grid = jnp.linspace(40.0, 120.0, 17)
     logls = hyperlike.log_like_batch({"H0": h0_grid})
     logls = np.asarray(logls)
     assert np.isfinite(logls).all()
     h0_best = float(h0_grid[np.argmax(logls)])
-    # Mock catalog of 24 events: generous tolerance around the truth.
+    # Mock catalog of 16 events: generous tolerance around the truth.
     assert 55.0 <= h0_best <= 90.0
 
 
@@ -57,7 +57,10 @@ def test_multi_parameter_update(hyperlike):
 
 
 def test_gradient_wrt_h0(hyperlike):
-    g = jax.grad(lambda h0: log_hyperlikelihood(hyperlike, {"H0": h0}))(
+    # jit the grad: one compiled (and persistently cached) program instead
+    # of an eager op-by-op backward sweep on the 1-core test box.
+    g = jax.jit(jax.grad(
+        lambda h0: log_hyperlikelihood(hyperlike, {"H0": h0})))(
         jnp.asarray(70.0))
     assert np.isfinite(float(g))
 
@@ -78,7 +81,7 @@ def test_scale_free_vs_rate_convention(hyperlike, fiducial_population):
 
     pop_nsf = pytree.replace(fiducial_population, scale_free=False)
     hl_nsf = pytree.replace(hyperlike, population=pop_nsf)
-    v = float(log_hyperlikelihood(hl_nsf, {"H0": 70.0}))
+    v = float(hl_nsf.log_like(H0=70.0))
     assert np.isfinite(v)
 
 

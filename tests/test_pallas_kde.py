@@ -11,7 +11,7 @@ from chimera_tpu.ops.pallas.kde import kde1d_grid
 
 
 @pytest.mark.parametrize("kernel", ["epan", "gauss"])
-@pytest.mark.parametrize("s", [200, 4096])
+@pytest.mark.parametrize("s", [200, 1024])
 def test_pallas_matches_xla_core(kernel, s):
     key = jax.random.PRNGKey(0)
     b, g = 7, 130  # deliberately non-multiples of the tile sizes

@@ -36,7 +36,7 @@ def test_make_mesh_shapes():
 
 def test_pad_events_invariance(hyperlike):
     base = float(hyperlike.log_like(H0=70.0))
-    padded = pad_events(hyperlike, 8)
+    padded = pad_events(hyperlike, 24)  # 16 -> 24: real padding rows
     assert padded.n_events % 8 == 0
     assert int(padded.n_events_real) == hyperlike.n_events
     np.testing.assert_allclose(float(padded.log_like(H0=70.0)), base,

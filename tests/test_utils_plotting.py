@@ -62,37 +62,11 @@ def test_boundaries_enclose_pixel(nside):
 
 
 @pytest.fixture(scope="module")
-def small_dark_siren(fiducial_population):
-    import jax
-
-    from chimera_tpu import SelectionFunction, pytree
-    from chimera_tpu.catalog import DVdzCompleteness
-    from chimera_tpu.catalog.build import build_pixelated_catalog
-    from chimera_tpu.data.mock import (
-        make_mock_catalog,
-        make_mock_galaxies,
-        make_mock_injections,
-    )
-    from chimera_tpu.data.pixelize import pixelize_gw_catalog
-    from chimera_tpu.models import compute_z_grids
-
-    pop = fiducial_population
-    theta, truths = make_mock_catalog(
-        jax.random.PRNGKey(5), pop, n_events=4, n_samples=128,
-        sigma_sky_rad=0.03, oversample=400, return_truths=True)
-    theta = pixelize_gw_catalog(theta, nside_list=[8, 16],
-                                mean_npixels_event=6, sky_conf=0.9)
-    z_grids = compute_z_grids(pop.cosmo, theta,
-                              cosmo_prior={"H0": [40.0, 120.0]}, z_int_res=80)
-    galaxies = make_mock_galaxies(jax.random.PRNGKey(6), pop, truths,
-                                  n_background=5_000)
-    compl = DVdzCompleteness.create(z_range=(0.0, 3.0), kind="step")
-    gal_cat = build_pixelated_catalog(galaxies, theta, z_grids, pop.cosmo,
-                                      compl, z_err=0.01)
-    pop_pix = pytree.replace(pop, gal_cat=gal_cat)
-    inj, n_inj = make_mock_injections(jax.random.PRNGKey(8), pop,
-                                      n_generated=20_000)
-    return theta, z_grids, pop_pix, SelectionFunction.create(inj, n_inj)
+def small_dark_siren(dark_siren_setup):
+    # Shared session dark-siren mock (see conftest); plotting only needs
+    # the 4-tuple.
+    theta, z_grids, pop_pix, sel, _truths = dark_siren_setup
+    return theta, z_grids, pop_pix, sel
 
 
 def test_plot_smoke(small_dark_siren):
