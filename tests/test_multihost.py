@@ -67,8 +67,8 @@ WORKER = textwrap.dedent("""
     from chimera_tpu.parallel import shard_hyperlikelihood
     from chimera_tpu.parallel.mesh import log_like_batch_sharded
 
-    cosmo = FLRW.create(H0=70.0, Om0=0.25, z_grid_res=500)
-    pop = Population.create(cosmo, PowerLawPeak.create(grid_res=500),
+    cosmo = FLRW.create(H0=70.0, Om0=0.25, z_grid_res=256)
+    pop = Population.create(cosmo, PowerLawPeak.create(grid_res=256),
                             MadauDickinsonRate.create(),
                             gal_cat=EmptyCatalog())
     cat = make_mock_catalog(jax.random.PRNGKey(42), pop, n_events=12,
@@ -89,7 +89,11 @@ WORKER = textwrap.dedent("""
     for shard in out.addressable_shards:
         got = np.asarray(shard.data).ravel()
         want = ref[shard.index[0]].ravel()
-        np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-7)
+        # this worker runs f32 (no x64 conftest here): sharded vs single
+        # differ by psum reduction order, ~1e-7 relative on ~1e2-magnitude
+        # log-likelihoods; the <=1e-7 sharded==single gate is held in f64
+        # by tests/test_parallel.py
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
     print(f"proc {pid} OK total={total} likelihood OK", flush=True)
 """)
@@ -108,9 +112,20 @@ def test_two_process_global_mesh(tmp_path):
                               env=env, text=True)
              for i in range(2)]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=240)
-        outs.append(out)
+    try:
+        # generous bound: two workers share the 1-core test box, and each
+        # cold-compiles the single-device AND sharded likelihood programs
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        outs = [p.communicate()[0] for p in procs]
+        raise AssertionError(
+            "multihost workers timed out; partial output:\n" + "\n".join(
+                o or "" for o in outs))
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out}"
         assert f"proc {i} OK total=28.0 likelihood OK" in out
