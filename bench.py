@@ -20,6 +20,8 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
+import statistics
 import time
 
 import jax
@@ -27,8 +29,19 @@ import jax.numpy as jnp
 
 # Persistent compile cache: the flagship programs take tens of seconds to
 # compile through the tunneled TPU backend; cache them across bench runs
-# (driver round-end runs included).  Harmless on CPU.
-jax.config.update("jax_compilation_cache_dir", "/tmp/chimera_jax_cache")
+# (driver round-end runs included).  Harmless on CPU.  Per-user location
+# (not a fixed world-writable /tmp path — deserialized executables are
+# trusted code); CHIMERA_JAX_CACHE overrides.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("CHIMERA_JAX_CACHE")
+    or os.path.join(os.path.expanduser("~"), ".cache", "chimera_jax"))
+
+if os.environ.get("BENCH_CPU"):
+    # CPU f64 baseline mode (BASELINE.md: the >=100x north-star denominator).
+    # Must be configured before any backend use; run in a fresh process.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
@@ -51,13 +64,14 @@ def _to_bench_device(hl):
     return jax.device_put(hl, jax.devices()[0])
 
 
-def build(n_events=1000, n_samples=4096, n_inj=2_000_000, z_res=500):
+def build(n_events=1000, n_samples=4096, n_inj=2_000_000, z_res=500,
+          binning=False, cut_grid=None):
     with _host_cpu():
-        hl = _build(n_events, n_samples, n_inj, z_res)
+        hl = _build(n_events, n_samples, n_inj, z_res, binning, cut_grid)
     return _to_bench_device(hl)
 
 
-def _build(n_events, n_samples, n_inj, z_res):
+def _build(n_events, n_samples, n_inj, z_res, binning=False, cut_grid=None):
     from chimera_tpu import HyperLikelihood, SelectionFunction
     from chimera_tpu.catalog import EmptyCatalog
     from chimera_tpu.data.mock import make_mock_catalog, make_mock_injections
@@ -80,14 +94,14 @@ def _build(n_events, n_samples, n_inj, z_res):
     z_grids = compute_z_grids(cosmo, cat, cosmo_prior={"H0": [40.0, 120.0]},
                               z_int_res=z_res)
     sel = SelectionFunction.create(inj, n_gen)
-    # TPU flagship config: direct (unbinned) KDE evaluated straight on the
-    # analysis grids (cut_grid=None) — exact (no binning approximation, no
-    # effective-grid resampling) and fully fused on TPU.
-    return HyperLikelihood.create(cat, z_grids, pop, sel, binning=False,
-                                  cut_grid=None)
+    # TPU flagship config (defaults): direct (unbinned) KDE evaluated
+    # straight on the analysis grids (cut_grid=None) — exact (no binning
+    # approximation, no effective-grid resampling) and fully fused on TPU.
+    return HyperLikelihood.create(cat, z_grids, pop, sel, binning=binning,
+                                  cut_grid=cut_grid)
 
 
-def _time_batch(hl, batch=16, n_rep=5, spread=False):
+def _time_batch(hl, batch=16, n_rep=5, spread=False, stats=False):
     # NOTE: evaluate through the library's jitted entry point, which takes
     # the HyperLikelihood pytree as an ARGUMENT — closure-capturing it
     # would bake the PE/injection arrays into the program as constants and
@@ -108,6 +122,16 @@ def _time_batch(hl, batch=16, n_rep=5, spread=False):
         t0 = time.perf_counter()
         jax.block_until_ready(hl.log_like_batch({"H0": h0s}))
         reps.append((time.perf_counter() - t0) / batch * 1e3)
+    if stats:
+        # Noise-proof headline: median + MAD over many reps.  The tunneled
+        # TPU backend contributes ~10% run-to-run dispatch noise; best-of-5
+        # cannot resolve a 10-20% cross-round regression through it, a
+        # median with its MAD can (round-3 VERDICT weak spot 2).
+        med = statistics.median(reps)
+        mad = statistics.median([abs(r - med) for r in reps])
+        return {"median": round(med, 4), "mad": round(mad, 4),
+                "best": round(min(reps), 4),
+                "spread": round(max(reps) - min(reps), 4)}
     if spread:
         # in-process repeat spread (max-min over n_rep), so cross-round
         # drift in the recorded headline is attributable to noise vs a
@@ -117,7 +141,8 @@ def _time_batch(hl, batch=16, n_rep=5, spread=False):
 
 
 def build_dark(kind="marginalized", n_events=1000, n_samples=1024, n_pix=15,
-               z_res=500, n_inj=500_000, cut_grid=None, n_background=50_000):
+               z_res=500, n_inj=500_000, cut_grid=None, n_background=50_000,
+               binning=False):
     """Dark-siren (pixelated galaxy catalog) configuration — the reference's
     headline science case (test1dgalaxies at 10x events): 1000 events x
     ~15 pixels x 1024 PE samples x 500-pt z-grids.
@@ -127,12 +152,12 @@ def build_dark(kind="marginalized", n_events=1000, n_samples=1024, n_pix=15,
     also the fastest (it unlocks the rows-contract fused kernel)."""
     with _host_cpu():
         hl = _build_dark(kind, n_events, n_samples, n_pix, z_res, n_inj,
-                         cut_grid, n_background)
+                         cut_grid, n_background, binning)
     return _to_bench_device(hl)
 
 
 def _build_dark(kind, n_events, n_samples, n_pix, z_res, n_inj, cut_grid,
-                n_background):
+                n_background, binning=False):
     from chimera_tpu import HyperLikelihood, SelectionFunction, pytree
     from chimera_tpu.catalog import DVdzCompleteness, EmptyCatalog
     from chimera_tpu.catalog.build import build_pixelated_catalog
@@ -163,7 +188,7 @@ def _build_dark(kind, n_events, n_samples, n_pix, z_res, n_inj, cut_grid,
                                       n_generated=n_inj, snr_threshold=12.0)
     sel = SelectionFunction.create(inj, n_gen)
     return HyperLikelihood.create(cat, z_grids, pop, sel, kind=kind,
-                                  binning=False, cut_grid=cut_grid)
+                                  binning=binning, cut_grid=cut_grid)
 
 
 def suite():
@@ -178,8 +203,11 @@ def suite():
         print(json.dumps(rows[-1]), flush=True)
     for n_ev, n_pix, n_inj, batch in ((128, 12, 200_000, 4),
                                       (1000, 15, 500_000, 4)):
+        # cut_grid pinned to the reference default (2.0) so this row stays
+        # comparable to the recorded round-2/3 numbers — build_dark's own
+        # default (None) would silently change the configuration.
         hl_full = build_dark(kind="full", n_events=n_ev, n_pix=n_pix,
-                             n_inj=n_inj)
+                             n_inj=n_inj, cut_grid=2.0)
         ms = _time_batch(hl_full, batch=batch)
         rows.append({"metric": f"hyperlike_full3d_ms_{n_ev}ev",
                      "value": round(ms, 4), "unit": "ms"})
@@ -192,6 +220,38 @@ def suite():
         ms = _time_batch(hl_marg, batch=batch)
         rows.append({"metric": f"hyperlike_marginalized_ms_{n_ev}ev",
                      "value": round(ms, 4), "unit": "ms"})
+        print(json.dumps(rows[-1]), flush=True)
+    return rows
+
+
+def suite_cpu():
+    """CPU f64 baseline rows (BENCH_CPU=1 python bench.py) — the denominator
+    of the >=100x-vs-CPU north star (BASELINE.md).
+
+    Times the SAME 1000-event flagship configurations as the TPU headline
+    (unbinned, cut_grid=None) on the CPU backend in float64 — the
+    reference's precision (CHIMERA/utils/config.py:5) — PLUS the
+    reference-default approximate configuration (binning=200 bins,
+    cut_grid=2.0), which is what a reference user actually evaluates on
+    CPU.  Core count is recorded: XLA-CPU uses every core on the box."""
+    assert jax.default_backend() == "cpu", "run with BENCH_CPU=1 (fresh proc)"
+    rows = []
+    configs = [
+        # (metric suffix, builder kwargs, is_dark, batch)
+        ("spectral_refconfig", dict(binning=True, cut_grid=2.0), False, 4),
+        ("spectral_unbinned", dict(), False, 2),
+        ("dark_marginalized_refconfig",
+         dict(binning=True, cut_grid=2.0), True, 2),
+        ("dark_marginalized_unbinned", dict(), True, 2),
+    ]
+    for name, kw, is_dark, batch in configs:
+        hl = build_dark(**kw) if is_dark else build(**kw)
+        ms = _time_batch(hl, batch=batch, n_rep=3, stats=True)
+        rows.append({"metric": f"cpu_f64_{name}_ms_1kev",
+                     "value": ms["median"], "unit": "ms",
+                     "mad_ms": ms["mad"], "best_ms": ms["best"],
+                     "n_cores": os.cpu_count(),
+                     "dtype": "float64", "backend": "cpu"})
         print(json.dumps(rows[-1]), flush=True)
     return rows
 
@@ -234,8 +294,9 @@ def suite_mesh():
 
 
 def main():
-    import os
-
+    if os.environ.get("BENCH_CPU"):
+        suite_cpu()
+        return
     if os.environ.get("BENCH_SUITE"):
         suite()
         return
@@ -244,19 +305,24 @@ def main():
         return
     # Default (driver-recorded) run: BOTH flagship rows — spectral sirens
     # (1000 events x 4096 samples) and dark sirens (1000 events x 15 pixels
-    # x 1024 samples, 'marginalized'), each with an in-process repeat
-    # spread so cross-round drift is attributable (noise vs regression).
-    ms_spec, spread_spec = _time_batch(build(), spread=True)
-    ms_dark, spread_dark = _time_batch(build_dark(), spread=True)
+    # x 1024 samples, 'marginalized').  'value' is the MEDIAN over 17 timed
+    # reps with its MAD, so the recorded headline resolves a 10-20%
+    # cross-round regression through the tunneled backend's ~10% dispatch
+    # noise ('best' is kept for comparability with rounds 1-3, which
+    # recorded best-of-5).
+    spec = _time_batch(build(), n_rep=17, stats=True)
+    dark = _time_batch(build_dark(), n_rep=17, stats=True)
     print(json.dumps({
         "metric": "hyperlike_eval_ms_1kev",
-        "value": round(ms_spec, 4),
+        "value": spec["median"],
         "unit": "ms",
-        "vs_baseline": round(10.0 / ms_spec, 3),
-        "spread_ms": spread_spec,
-        "dark_marginalized_ms_1kev": round(ms_dark, 4),
-        "dark_spread_ms": spread_dark,
-        "dark_vs_baseline": round(10.0 / ms_dark, 3),
+        "vs_baseline": round(10.0 / spec["median"], 3),
+        "mad_ms": spec["mad"],
+        "best_ms": spec["best"],
+        "dark_marginalized_ms_1kev": dark["median"],
+        "dark_mad_ms": dark["mad"],
+        "dark_best_ms": dark["best"],
+        "dark_vs_baseline": round(10.0 / dark["median"], 3),
     }))
 
 

@@ -125,9 +125,8 @@ def _jitted_runner(log_prob_fn, n_steps: int, a: float, thin: int):
     return jax.jit(_scan_runner(log_prob_fn, n_steps, a, thin))
 
 
-@functools.partial(jax.jit, static_argnames=("param_names",
-                                              "extra_log_prior"))
-def _vector_log_prob(hl, param_names, lo, hi, extra_log_prior, vecs):
+@functools.partial(jax.jit, static_argnames=("param_names",))
+def _vector_log_prob(hl, param_names, lo, hi, vecs):
     from chimera_tpu.likelihood import log_hyperlikelihood_batch
 
     lo_safe = jnp.where(jnp.isfinite(lo), lo, -1e30)
@@ -135,13 +134,9 @@ def _vector_log_prob(hl, param_names, lo, hi, extra_log_prior, vecs):
     safe = jnp.clip(vecs, lo_safe, hi_safe)
     lam = {p: safe[:, i] for i, p in enumerate(param_names)}
     logp = log_hyperlikelihood_batch(hl, lam)
-    if extra_log_prior is not None:
-        logp = logp + jax.vmap(
-            lambda v: extra_log_prior(
-                {p: v[i] for i, p in enumerate(param_names)}))(safe)
     in_bounds = jnp.all((vecs >= lo) & (vecs <= hi), axis=-1)
     logp = jnp.where(in_bounds, logp, -jnp.inf)
-    return jnp.where(jnp.isnan(logp), -jnp.inf, logp)
+    return jnp.where(jnp.isnan(logp), -jnp.inf, logp), safe, in_bounds
 
 
 def make_vector_log_prob(hl, param_names: list[str],
@@ -169,7 +164,19 @@ def make_vector_log_prob(hl, param_names: list[str],
     names = tuple(param_names)
 
     def batch(vecs):
-        return _vector_log_prob(hl, names, lo, hi, extra_log_prior, vecs)
+        # The likelihood core is jitted with ONLY hashable statics; the user
+        # prior is applied outside it, so any callable works (unhashable
+        # included) and a lambda re-created per call cannot grow the jit
+        # cache.  Under a sampler's outer jit this whole function is traced
+        # and the nested jit inlined — the split costs nothing.
+        logp, safe, in_bounds = _vector_log_prob(hl, names, lo, hi, vecs)
+        if extra_log_prior is not None:
+            extra = jax.vmap(
+                lambda v: extra_log_prior(
+                    {p: v[i] for i, p in enumerate(names)}))(safe)
+            logp = jnp.where(in_bounds, logp + extra, -jnp.inf)
+            logp = jnp.where(jnp.isnan(logp), -jnp.inf, logp)
+        return logp
 
     return batch
 

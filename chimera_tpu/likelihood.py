@@ -479,13 +479,18 @@ def p_gw_3d_full(hl: HyperLikelihood, pop: Population) -> Array:
         jnp.where(tgw.pixel_mask, tgw.dec_pix, 0.0),
     )
     if use_stream:
-        # Blocks of 8 events per scan step (events are padded to %8 by
-        # create()): a single-event step is a thin (P*Nz, chunk) VPU op
-        # that underfills the 8-sublane register tile; batching 8 events
-        # fills the sublanes and cuts the sequential step count 8x while
-        # peak memory stays (L, 8, P*Nz, chunk).
-        p = jax.lax.map(lambda a: one_event(*a), args,
-                        batch_size=8 if nev % 8 == 0 else 1)
+        # Event-blocked scan steps: a single-event step is a thin
+        # (P*Nz, chunk) VPU op that underfills the 8-sublane register tile;
+        # an 8-event block fills the sublanes and cuts the sequential step
+        # count 8x — at 8x the per-step peak memory, (L, bs, P*Nz, chunk)
+        # instead of (L, 1, P*Nz, chunk).  The block size is therefore
+        # derived from the same element budget that selected streaming
+        # (dense_elems threshold), shrinking to 4/2/1 events when
+        # L-batched (P*Nz x chunk) blocks would crowd HBM.
+        per_event_step = npix * nz * 512  # gaussian_kde_nd_stream chunk
+        bs = next(b for b in (8, 4, 2, 1)
+                  if nev % b == 0 and (b == 1 or b * per_event_step <= 2 ** 26))
+        p = jax.lax.map(lambda a: one_event(*a), args, batch_size=bs)
     else:
         p = jax.vmap(one_event)(*args)
     p = p * norms[:, None, None]

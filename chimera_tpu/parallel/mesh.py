@@ -155,8 +155,13 @@ def pad_events(hl: HyperLikelihood, multiple: int) -> HyperLikelihood:
     compact = None
     if hl.compact is not None:
         # padded events duplicate the last real event's rows (finite
-        # kernels and gradients; excluded from reductions by the mask)
-        compact = {k: _pad_axis0(v, n_target) for k, v in hl.compact.items()}
+        # kernels and gradients; excluded from reductions by the mask);
+        # the flagship layout nests the chunk-rows dict under 'rows'
+        def _pad_compact(d):
+            return {k: _pad_compact(v) if isinstance(v, dict)
+                    else _pad_axis0(v, n_target) for k, v in d.items()}
+
+        compact = _pad_compact(hl.compact)
     population = hl.population
     gal_cat = getattr(population, "gal_cat", None)
     if gal_cat is not None and getattr(gal_cat, "pixelated", False):

@@ -33,8 +33,14 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compile cache: the fast suite is compile-heavy on a 1-core
 # box; caching compiled programs across pytest runs cuts warm reruns
-# substantially and costs nothing on a cold run.
-jax.config.update("jax_compilation_cache_dir", "/tmp/chimera_jax_cache")
+# substantially and costs nothing on a cold run.  Per-user location (not a
+# fixed world-writable /tmp path): deserialized executables are trusted
+# code, so another local user must not be able to pre-create or poison the
+# directory.  CHIMERA_JAX_CACHE overrides.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("CHIMERA_JAX_CACHE")
+    or os.path.join(os.path.expanduser("~"), ".cache", "chimera_jax"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import jax.numpy as jnp  # noqa: E402

@@ -145,12 +145,15 @@ def test_homogeneous_completeness(fiducial_population):
     assert np.isfinite(pb).all() and (pb >= 0).all()
 
 
-def test_build_engines_agree(dark_siren_setup, fiducial_population):
+@pytest.mark.parametrize("sumgauss", ["dVdz", "pbkg"])
+def test_build_engines_agree(dark_siren_setup, fiducial_population, sumgauss):
     """The on-device segment-scan p_cat build (SURVEY 7.2-7: jitted scan
     instead of the reference's per-(event, pixel) host loops,
     catalog.py:137-231) must reproduce the host numpy oracle exactly:
     same voxel membership (CSR searchsorted vs np.isin), same per-galaxy
-    normalized Gaussians, same n_gal counts."""
+    normalized Gaussians, same n_gal counts — for BOTH background priors
+    and with non-uniform galaxy weights (the weight accumulation in
+    _p_cat_segments is the trickiest part of the device engine)."""
     from chimera_tpu.catalog.build import build_pixelated_catalog
     from chimera_tpu.catalog import DVdzCompleteness
     from chimera_tpu.data.mock import make_mock_galaxies
@@ -159,7 +162,10 @@ def test_build_engines_agree(dark_siren_setup, fiducial_population):
     galaxies = make_mock_galaxies(jax.random.PRNGKey(55), fiducial_population,
                                   truths, n_background=5_000)
     compl = DVdzCompleteness.create(z_range=(0.0, 3.0), kind="step")
-    kw = dict(z_err=0.015, sumgauss="dVdz")
+    n_gal_total = np.asarray(galaxies["z"]).size
+    w_gal = np.asarray(jax.random.uniform(
+        jax.random.PRNGKey(56), (n_gal_total,), minval=0.1, maxval=3.0))
+    kw = dict(z_err=0.015, sumgauss=sumgauss, weights=w_gal)
     host = build_pixelated_catalog(galaxies, theta, z_grids,
                                    fiducial_population.cosmo, compl,
                                    engine="host", **kw)

@@ -95,7 +95,42 @@ WORKER = textwrap.dedent("""
         # by tests/test_parallel.py
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
-    print(f"proc {pid} OK total={total} likelihood OK", flush=True)
+    # ---- the dark-siren flagship across processes -------------------------
+    # Same global mesh, but the pixelated 'marginalized' configuration: the
+    # catalog prior's event-indexed leaves (p_cat, P_compl, pixel_mask) and
+    # the compacted per-pixel PE samples shard over the DATA axis across the
+    # process boundary.  Both processes build identical state from seeds.
+    from chimera_tpu import pytree
+    from chimera_tpu.catalog import DVdzCompleteness
+    from chimera_tpu.catalog.build import build_pixelated_catalog
+    from chimera_tpu.data.mock import make_mock_galaxies
+    from chimera_tpu.data.pixelize import pixelize_gw_catalog
+
+    catd, truths = make_mock_catalog(jax.random.PRNGKey(5), pop, n_events=8,
+                                     n_samples=128, snr_threshold=14.0,
+                                     sigma_sky_rad=0.03, oversample=400,
+                                     return_truths=True)
+    catd = pixelize_gw_catalog(catd, nside_list=[8, 16],
+                               mean_npixels_event=4, sky_conf=0.9)
+    zgd = compute_z_grids(cosmo, catd, cosmo_prior={"H0": [40., 120.]},
+                          z_int_res=64)
+    gals = make_mock_galaxies(jax.random.PRNGKey(6), pop, truths,
+                              n_background=3000)
+    compl = DVdzCompleteness.create(z_range=(0.0, 3.0), kind="step")
+    gc = build_pixelated_catalog(gals, catd, zgd, cosmo, compl, z_err=0.01)
+    pop_pix = pytree.replace(pop, gal_cat=gc)
+    hld = HyperLikelihood.create(catd, zgd, pop_pix, sel,
+                                 kind="marginalized", binning=False,
+                                 cut_grid=None)
+    refd = np.asarray(hld.log_like_batch({"H0": jnp.asarray(h0s)}))
+    hlds = shard_hyperlikelihood(hld, mesh2)
+    outd = log_like_batch_sharded(hlds, {"H0": h0s}, mesh2)
+    for shard in outd.addressable_shards:
+        got = np.asarray(shard.data).ravel()
+        want = refd[shard.index[0]].ravel()
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    print(f"proc {pid} OK total={total} likelihood OK dark OK", flush=True)
 """)
 
 
@@ -128,7 +163,7 @@ def test_two_process_global_mesh(tmp_path):
                 o or "" for o in outs))
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out}"
-        assert f"proc {i} OK total=28.0 likelihood OK" in out
+        assert f"proc {i} OK total=28.0 likelihood OK dark OK" in out
 
 
 def _free_port() -> int:

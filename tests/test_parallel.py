@@ -79,6 +79,46 @@ def test_params_only_mesh(hyperlike):
     np.testing.assert_allclose(got, expect, rtol=1e-9)
 
 
+def test_sharded_dark_siren_marginalized(dark_siren_setup):
+    """The DISTRIBUTED dark-siren flagship: a pixelated 'marginalized'
+    likelihood sharded over the 8-device mesh must equal the single-device
+    value (f64, rtol 1e-9).  This is the reference's MPI 'data' design point
+    (parallel.py:280-344) exercised for the science case it was built for —
+    pad_events' gal_cat/compact handling (incl. the nested chunk-rows dict)
+    executes here."""
+    theta, z_grids, pop_pix, sel, _ = dark_siren_setup
+    hl = HyperLikelihood.create(theta, z_grids, pop_pix, sel,
+                                kind="marginalized", binning=False,
+                                cut_grid=None)
+    assert hl.compact is not None and "rows" in hl.compact
+    mesh = make_mesh(params=1, data=8)
+    hls = shard_hyperlikelihood(hl, mesh)
+    h0s = jnp.linspace(55.0, 95.0, 8)
+    got = np.asarray(log_like_batch_sharded(hls, {"H0": h0s}, mesh))
+    expect = np.asarray(hl.log_like_batch({"H0": h0s}))
+    np.testing.assert_allclose(got, expect, rtol=1e-9)
+
+
+def test_sharded_dark_siren_rows_kernel(dark_siren_setup):
+    """The flagship rows-contract fused path (compact dict + gidx gathers,
+    likelihood._fused_batch_marginalized_rows) under shard_map on a 2-D
+    (params x data) mesh — interpret-mode Pallas on the CPU devices —
+    against the stage-by-stage XLA path on a single device."""
+    theta, z_grids, pop_pix, sel, _ = dark_siren_setup
+    hl = HyperLikelihood.create(theta, z_grids, pop_pix, sel,
+                                kind="marginalized", binning=False,
+                                cut_grid=None, kde_engine="fused")
+    mesh = make_mesh(params=2, data=4)
+    hls = shard_hyperlikelihood(hl, mesh)
+    h0s = jnp.linspace(55.0, 95.0, 8)
+    got = np.asarray(log_like_batch_sharded(hls, {"H0": h0s}, mesh))
+    hl_ref = HyperLikelihood.create(theta, z_grids, pop_pix, sel,
+                                    kind="marginalized", binning=False,
+                                    cut_grid=None, kde_engine="xla")
+    expect = np.asarray(hl_ref.log_like_batch({"H0": h0s}))
+    np.testing.assert_allclose(got, expect, rtol=1e-8)
+
+
 def test_sharded_fused_engine(fiducial_population, mock_catalog,
                               mock_injections, mock_z_grids):
     """Fused Pallas path under shard_map (interpret mode on the CPU mesh)
