@@ -39,8 +39,7 @@ from chimera_tpu.models.population import (
 from chimera_tpu.ops.binning import binning1d
 from chimera_tpu.ops.interp import uniform_interp
 from chimera_tpu.ops.kde import (
-    gaussian_kde_nd,
-    gaussian_kde_nd_stream,
+    gaussian_kde_3d_lattice,
     kde1d_core,
     kde1d_params,
 )
@@ -426,11 +425,11 @@ def p_gw_3d_full(hl: HyperLikelihood, pop: Population) -> Array:
     """Full 3-D (z, RA, Dec) weighted Gaussian KDE — (Nev, P, Nz).
 
     Replaces the reference's host escape (io_callback -> numba,
-    likelihood.py:211-260) with an on-device batched whitened-Gaussian KDE
-    evaluated on the dense (pixel x z-grid) lattice; out-of-support z points
+    likelihood.py:211-260) with an on-device whitened-Gaussian KDE factored
+    over the (pixel x z-grid) product lattice; out-of-support z points
     (beyond cut_grid sigmas) and fake pixels are masked to zero.  The 3x3
-    covariance/Cholesky per event is negligible; the (P*Nz, S) kernel sum is
-    a fused reduction with an MXU cross-term."""
+    covariance/Cholesky per event is negligible; the kernel sum amortizes
+    the sky-plane chi-square over the z grid (gaussian_kde_3d_lattice)."""
     th_src, weights, norms, gate = _weights_and_gates(hl, pop)
     tgw = hl.theta_gw
     nev, npix = tgw.pixel_mask.shape
@@ -447,29 +446,21 @@ def p_gw_3d_full(hl: HyperLikelihood, pop: Population) -> Array:
         z_mask = (hl.z_grids <= z_hi + hl.cut_grid * z_std) & (
             hl.z_grids >= z_lo - hl.cut_grid * z_std)
 
-    # Dense (P*Nz, S) chi-square per event is fine at test scale but
-    # HBM-explosive under events x lambda batching at flagship scale
-    # (round-1 VERDICT weak spot 5): above the threshold, stream the sample
-    # axis (scan chunks, peak (P*Nz, chunk) per step) and walk events
-    # sequentially (lax.map stays a loop under the outer lambda-vmap, so
-    # batching multiplies step memory by L only, not by L*E).
+    # The evaluation points form a product lattice (pixel centers x z-grid),
+    # so the 3-D KDE factors along z (gaussian_kde_3d_lattice): the sky-plane
+    # chi-square is computed once per (pixel, sample) and amortized over the
+    # whole z grid, ~2x fewer VPU ops per pair than the dense difference
+    # form.  The lattice kernel streams the sample axis (scan chunks, peak
+    # (P, Nz, chunk) per step), and above the memory threshold events walk
+    # in lax.map blocks so lambda-batching multiplies step memory by L only,
+    # not by L*E (round-1 VERDICT weak spot 5).
     dense_elems = nev * npix * nz * th_src.z.shape[1]
     use_stream = dense_elems > 2 ** 26
 
     def one_event(z, ra, dec, w, zg, ra_pix, dec_pix):
         dataset = jnp.stack([z, ra, dec])          # (3, S)
-        pts = jnp.stack([
-            jnp.tile(zg, npix),                     # (P*Nz,)
-            jnp.repeat(ra_pix, nz),
-            jnp.repeat(dec_pix, nz),
-        ])                                          # (3, P*Nz)
-        if use_stream:
-            dens = gaussian_kde_nd_stream(dataset, pts, weights=w,
-                                          bw_method=hl.bw_method)
-        else:
-            dens = gaussian_kde_nd(dataset, pts, weights=w,
-                                   bw_method=hl.bw_method)
-        return dens.reshape(npix, nz)
+        return gaussian_kde_3d_lattice(dataset, ra_pix, dec_pix, zg,
+                                       weights=w, bw_method=hl.bw_method)
 
     args = (
         th_src.z, tgw.ra, tgw.dec, weights, hl.z_grids,
@@ -487,7 +478,7 @@ def p_gw_3d_full(hl: HyperLikelihood, pop: Population) -> Array:
         # derived from the same element budget that selected streaming
         # (dense_elems threshold), shrinking to 4/2/1 events when
         # L-batched (P*Nz x chunk) blocks would crowd HBM.
-        per_event_step = npix * nz * 512  # gaussian_kde_nd_stream chunk
+        per_event_step = npix * nz * 512  # gaussian_kde_3d_lattice chunk
         bs = next(b for b in (8, 4, 2, 1)
                   if nev % b == 0 and (b == 1 or b * per_event_step <= 2 ** 26))
         p = jax.lax.map(lambda a: one_event(*a), args, batch_size=bs)

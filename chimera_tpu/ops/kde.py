@@ -29,6 +29,7 @@ __all__ = [
     "gaussian_kde_nd",
     "gaussian_kde_nd_batch",
     "gaussian_kde_nd_stream",
+    "gaussian_kde_3d_lattice",
     "bw_factor",
 ]
 
@@ -301,6 +302,90 @@ def gaussian_kde_nd_stream(
     init = (jnp.full_like(p_sq, neg_inf), jnp.zeros_like(p_sq))
     (m, t), _ = jax.lax.scan(step_log, init, (data_c, logw_c))
     return log_norm + m + jnp.log(t)
+
+
+def gaussian_kde_3d_lattice(
+    dataset: Array,
+    ra_pix: Array,
+    dec_pix: Array,
+    z_grid: Array,
+    weights: Array | None = None,
+    bw_method=None,
+    sample_chunk: int = 512,
+) -> Array:
+    """:func:`gaussian_kde_nd` (d=3) on the product lattice
+    (z_grid x pixel centers), factored along the z axis.
+
+    The evaluation points of the 'full' 3-D likelihood form a lattice
+    ``x_p = (z_g, ra_p, dec_p)`` (reference likelihood.py:211-260).  Because
+    the whitening matrix L is lower-triangular, the whitened point
+    ``L^T x_p`` carries z only in its FIRST component, so the chi-square
+    splits as
+
+        chi2[p, g, s] = (L00*z_g + t[p, s])^2 + q[p, s]
+
+    with t, q independent of the z grid.  Folding exp(-q/2) into per-
+    (pixel, sample) effective weights turns the 3-D KDE into a 1-D Gaussian
+    sweep along z — ~half the per-pair arithmetic of the dense difference
+    form, with the sky-plane work amortized over the whole z grid.
+    Numerically identical to ``gaussian_kde_nd`` on the same lattice up to
+    one exp/multiply re-association (~1 ulp per pair).
+
+    Args:
+      dataset: (3, S) samples, rows (z, ra, dec).
+      ra_pix, dec_pix: (P,) pixel centers.
+      z_grid: (G,) evaluation redshifts.
+      weights: (S,) sample weights (normalized internally).
+      sample_chunk: stream the sample axis in chunks of this size (the
+        (P, G, S) pair tensor is never materialized).
+
+    Returns:
+      (P, G) density values.
+    """
+    d, s = dataset.shape
+    weights = _safe_norm_weights(weights, s, dataset.dtype)
+    neff = 1.0 / jnp.sum(jnp.square(weights))
+    factor = bw_factor(neff, d, bw_method)
+
+    cov = _weighted_cov(dataset, weights)
+    inv_cov = jnp.linalg.inv(cov) / (factor * factor)
+    whitening = jnp.linalg.cholesky(inv_cov)          # lower-triangular L
+    data_w = jnp.matmul(dataset.T, whitening,
+                        precision=jax.lax.Precision.HIGHEST)  # (S, 3)
+    log_norm = jnp.sum(jnp.log(jnp.diag(whitening))) \
+        - 0.5 * d * jnp.log(2 * jnp.pi)
+
+    # whitened lattice points: (L^T x)_k = sum_{j>=k} L[j,k] x_j, so the
+    # z contribution (j=0) lands ONLY in component 0 with coefficient L00
+    l00 = whitening[0, 0]
+    c0 = whitening[1, 0] * ra_pix + whitening[2, 0] * dec_pix   # (P,)
+    c1 = whitening[1, 1] * ra_pix + whitening[2, 1] * dec_pix
+    c2 = whitening[2, 2] * dec_pix
+
+    # pad the sample axis with zero-weight replicas so chunks are exact
+    n_chunks = -(-s // sample_chunk)
+    pad = n_chunks * sample_chunk - s
+    if pad:
+        data_w = jnp.concatenate([data_w, jnp.tile(data_w[:1], (pad, 1))])
+        weights = jnp.concatenate([weights, jnp.zeros((pad,), weights.dtype)])
+    data_c = data_w.reshape(n_chunks, sample_chunk, 3)
+    w_c = weights.reshape(n_chunks, sample_chunk)
+
+    zl = l00 * z_grid                                  # (G,)
+
+    def step(acc, xs):
+        dw, w = xs                                     # (Sc, 3), (Sc,)
+        q1 = c1[:, None] - dw[None, :, 1]              # (P, Sc)
+        q2 = c2[:, None] - dw[None, :, 2]
+        e = w[None, :] * jnp.exp(-0.5 * (q1 * q1 + q2 * q2))
+        t = c0[:, None] - dw[None, :, 0]               # (P, Sc)
+        u = zl[None, :, None] + t[:, None, :]          # (P, G, Sc)
+        return acc + jnp.sum(e[:, None, :] * jnp.exp(-0.5 * u * u),
+                             axis=-1), None
+
+    init = jnp.zeros((ra_pix.shape[0], z_grid.shape[0]), dataset.dtype)
+    acc, _ = jax.lax.scan(step, init, (data_c, w_c))
+    return jnp.exp(log_norm) * acc
 
 
 def gaussian_kde_nd_batch(

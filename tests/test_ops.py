@@ -181,3 +181,23 @@ def test_gaussian_kde_nd_stream_matches_dense():
                                         sample_chunk=128)
     np.testing.assert_allclose(np.asarray(stream_log), np.asarray(dense_log),
                                atol=1e-12)
+
+
+def test_gaussian_kde_3d_lattice_matches_dense():
+    """Factored product-lattice formulation of the 'full' 3-D KDE (round-4
+    item 3): the z axis enters the whitened chi-square only through the
+    first component, so the lattice form must equal the dense nd KDE on the
+    same (pixel x z-grid) points up to one exp re-association."""
+    from chimera_tpu.ops.kde import gaussian_kde_3d_lattice
+
+    data = jax.random.normal(jax.random.PRNGKey(16), (3, 700))
+    data = data.at[0].mul(0.3)  # z-like scale
+    w = jax.random.uniform(jax.random.PRNGKey(17), (700,)) + 0.05
+    ra = jax.random.normal(jax.random.PRNGKey(18), (13,))
+    dec = jax.random.normal(jax.random.PRNGKey(19), (13,))
+    zg = jnp.linspace(-1.0, 1.0, 37)
+    pts = jnp.stack([jnp.tile(zg, 13), jnp.repeat(ra, 37), jnp.repeat(dec, 37)])
+    dense = gaussian_kde_nd(data, pts, weights=w).reshape(13, 37)
+    lat = gaussian_kde_3d_lattice(data, ra, dec, zg, weights=w,
+                                  sample_chunk=256)
+    np.testing.assert_allclose(np.asarray(lat), np.asarray(dense), rtol=1e-12)
