@@ -214,12 +214,167 @@ def suite():
         print(json.dumps(rows[-1]), flush=True)
     from chimera_tpu import HyperLikelihood
 
-    for n_ev, batch in ((128, 8), (1000, 16)):
+    for n_ev, batch in ((128, 8), (1000, 16), (10_000, 4)):
+        # 10k-event row: the dark-siren counterpart of the spectral scale
+        # sweep — the reference pitch is "thousands of events" for the
+        # catalog science case (README.md:8)
         hl_marg = build_dark(n_events=n_ev, n_pix=12 if n_ev == 128 else 15,
                              n_inj=200_000 if n_ev == 128 else 500_000)
         ms = _time_batch(hl_marg, batch=batch)
         rows.append({"metric": f"hyperlike_marginalized_ms_{n_ev}ev",
                      "value": round(ms, 4), "unit": "ms"})
+        print(json.dumps(rows[-1]), flush=True)
+    # selection axis at the reference workload: 2e7 generated injections
+    # (test1dspectral.ipynb; BASELINE.md:12) — 10x the default bench axis
+    hl_inj = build(n_inj=20_000_000)
+    ms = _time_batch(hl_inj, batch=16)
+    rows.append({"metric": "hyperlike_eval_ms_1kev_inj2e7",
+                 "value": round(ms, 4), "unit": "ms"})
+    print(json.dumps(rows[-1]), flush=True)
+    return rows
+
+
+def suite_samplers(small=False):
+    """On-chip sampler shootout on the REAL 1000-event dark-siren posterior
+    (H0, Om0): ensemble MCMC (the reference's only sampler family,
+    utils/emcee_utils.py) vs gradient-based ChEES-HMC (possible here because
+    the likelihood is differentiable end-to-end).  Run:
+    BENCH_SAMPLERS=1 python bench.py  (BENCH_SMALL=1 for a CPU smoke run).
+
+    Reports ms/step, pooled-min ESS/sec, and evals(grad-evals)/ESS."""
+    from chimera_tpu.inference import (init_state, initialize_walkers,
+                                       make_vector_log_prob, run)
+    from chimera_tpu.inference.diagnostics import effective_sample_size
+    from chimera_tpu.inference.hmc import make_transformed_log_prob_batch
+
+    bounds = {"H0": (40.0, 120.0), "Om0": (0.05, 0.95)}
+    names = ["H0", "Om0"]
+    hl = build_dark(n_events=32, n_samples=256, n_pix=6, z_res=100,
+                    n_inj=50_000, n_background=5_000) if small \
+        else build_dark()
+    rows = []
+
+    # --- HMC value+grad cost at the dark flagship (BASELINE.md had this
+    # row only at 128 events) ---
+    logd, _tr = make_transformed_log_prob_batch(hl, names, bounds)
+    from chimera_tpu.inference.hmc import _batch_value_and_grad
+
+    vgrad = jax.jit(_batch_value_and_grad(logd))  # the HMC leapfrog path
+    y0 = jnp.stack([jnp.linspace(-0.2, 0.2, 8), jnp.zeros(8)], axis=1)
+    jax.block_until_ready(vgrad(y0))
+    reps = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        jax.block_until_ready(vgrad(y0))
+        reps.append((time.perf_counter() - t0) / 8 * 1e3)
+    rows.append({"metric": "hmc_valgrad_dark_ms_per_chain_1kev",
+                 "value": round(statistics.median(reps), 3), "unit": "ms",
+                 "n_chains": 8})
+    print(json.dumps(rows[-1]), flush=True)
+
+    # --- ensemble: ms/step and ESS/sec ---
+    n_walkers, n_steps = (16, 50) if small else (32, 400)
+    logp = make_vector_log_prob(hl, names, bounds=bounds)
+    walkers = initialize_walkers(jax.random.PRNGKey(0),
+                                 {"H0": 70.0, "Om0": 0.25}, n_walkers, names,
+                                 scale={"H0": 3.0, "Om0": 0.02},
+                                 bounds=bounds)
+    state = init_state(jax.random.PRNGKey(1), walkers, logp)
+    state, _ = run(state, logp, 100)                      # warmup/burn-in
+    run(state, logp, n_steps)                             # compile segment
+    t0 = time.perf_counter()
+    state, hist = run(state, logp, n_steps)
+    jax.block_until_ready(hist["coords"])
+    t_ens = time.perf_counter() - t0
+    ess = effective_sample_size(hist["coords"])           # (D,)
+    ess_min = float(jnp.min(ess))
+    rows.append({
+        "metric": "ensemble_dark_1kev", "value": round(t_ens / n_steps * 1e3, 3),
+        "unit": "ms/step", "n_walkers": n_walkers,
+        "walker_evals_per_s": round(n_steps * n_walkers / t_ens, 1),
+        "ess_min": round(ess_min, 1),
+        "ess_per_s": round(ess_min / t_ens, 2),
+        "evals_per_ess": round(n_steps * n_walkers / ess_min, 1)})
+    print(json.dumps(rows[-1]), flush=True)
+
+    # --- ChEES-HMC: ESS/sec on the same posterior ---
+    from chimera_tpu.inference.chees import run_chees
+
+    n_chains, n_warm, n_samp = (4, 20, 30) if small else (8, 100, 200)
+    y0c = jnp.stack([jnp.linspace(-0.15, 0.15, n_chains),
+                     0.02 * jnp.linspace(-1.0, 1.0, n_chains)], axis=1)
+    kw = dict(n_warmup=n_warm, n_samples=n_samp, batched=True, max_steps=32)
+    ys, stats = run_chees(jax.random.PRNGKey(2), logd, y0c, **kw)  # compile
+    jax.block_until_ready(ys)
+    t0 = time.perf_counter()
+    ys, stats = run_chees(jax.random.PRNGKey(3), logd, y0c, **kw)
+    jax.block_until_ready(ys)
+    t_chees = time.perf_counter() - t0
+    ess = effective_sample_size(ys)
+    ess_min = float(jnp.min(ess))
+    mean_steps = float(stats["mean_leapfrog_steps"])
+    grad_evals = (n_warm + n_samp) * mean_steps * n_chains
+    rows.append({
+        "metric": "chees_dark_1kev", "value": round(ess_min / t_chees, 2),
+        "unit": "ess/s", "n_chains": n_chains, "ess_min": round(ess_min, 1),
+        "wall_s": round(t_chees, 2),
+        "mean_leapfrog_steps": round(mean_steps, 1),
+        "accept": round(float(jnp.mean(stats["accept"])), 3),
+        "grad_evals_per_ess": round(grad_evals / ess_min, 1)})
+    print(json.dumps(rows[-1]), flush=True)
+    return rows
+
+
+def suite_precompute(small=False):
+    """Reference-scale precompute timing (BENCH_PRECOMPUTE=1 python bench.py):
+    pixelize 1000 events + build the pixelated catalog against 1.6M galaxies
+    — the scale of the reference's bundled MICE mock
+    (examples/test1dgalaxies.ipynb cell 1: glade_mock_z05_1.6M.hdf5)."""
+    from chimera_tpu import pytree
+    from chimera_tpu.catalog import DVdzCompleteness, EmptyCatalog
+    from chimera_tpu.catalog.build import build_pixelated_catalog
+    from chimera_tpu.data.mock import make_mock_catalog, make_mock_galaxies
+    from chimera_tpu.data.pixelize import pixelize_gw_catalog
+    from chimera_tpu.models import (FLRW, MadauDickinsonRate, Population,
+                                    PowerLawPeak, compute_z_grids)
+
+    rows = []
+    n_events, n_gal = (32, 20_000) if small else (1000, 1_600_000)
+    with _host_cpu():
+        cosmo = FLRW.create(H0=70.0, Om0=0.25)
+        pop = Population.create(cosmo, PowerLawPeak.create(),
+                                MadauDickinsonRate.create(),
+                                gal_cat=EmptyCatalog())
+        cat, truths = make_mock_catalog(
+            jax.random.PRNGKey(11), pop, n_events=n_events, n_samples=1024,
+            snr_threshold=12.0, sigma_sky_rad=0.03, oversample=200,
+            return_truths=True)
+        gal = make_mock_galaxies(jax.random.PRNGKey(12), pop, truths,
+                                 n_background=n_gal)
+        jax.block_until_ready(gal["z"])
+
+        t0 = time.perf_counter()
+        cat = pixelize_gw_catalog(cat, nside_list=[8, 16],
+                                  mean_npixels_event=15, sky_conf=0.9)
+        jax.block_until_ready(cat.pixels_pe_opt_nside)
+        t_pix = time.perf_counter() - t0
+        rows.append({"metric": "pixelize_1kev_s", "value": round(t_pix, 2),
+                     "unit": "s", "n_events": n_events})
+        print(json.dumps(rows[-1]), flush=True)
+
+        z_grids = compute_z_grids(cosmo, cat,
+                                  cosmo_prior={"H0": [40.0, 120.0]},
+                                  z_int_res=500)
+        compl = DVdzCompleteness.create(z_range=(0.0, 3.0), kind="step")
+        t0 = time.perf_counter()
+        gc = build_pixelated_catalog(gal, cat, z_grids, cosmo, compl,
+                                     z_err=0.01, engine="device")
+        jax.block_until_ready(gc.p_cat)
+        t_build = time.perf_counter() - t0
+        rows.append({"metric": "catalog_build_1kev_1p6Mgal_s",
+                     "value": round(t_build, 2), "unit": "s",
+                     "n_galaxies": int(gal["z"].shape[0]),
+                     "backend": "cpu-host", "n_cores": os.cpu_count()})
         print(json.dumps(rows[-1]), flush=True)
     return rows
 
@@ -235,6 +390,9 @@ def suite_cpu():
     cut_grid=2.0), which is what a reference user actually evaluates on
     CPU.  Core count is recorded: XLA-CPU uses every core on the box."""
     assert jax.default_backend() == "cpu", "run with BENCH_CPU=1 (fresh proc)"
+    # BENCH_CPU_ONLY="name1,name2" reruns a subset (each config is minutes
+    # of single-core f64 work; a cut-off run shouldn't force redoing rows).
+    only = [s for s in os.environ.get("BENCH_CPU_ONLY", "").split(",") if s]
     rows = []
     configs = [
         # (metric suffix, builder kwargs, is_dark, batch)
@@ -245,6 +403,8 @@ def suite_cpu():
         ("dark_marginalized_unbinned", dict(), True, 2),
     ]
     for name, kw, is_dark, batch in configs:
+        if only and name not in only:
+            continue
         hl = build_dark(**kw) if is_dark else build(**kw)
         ms = _time_batch(hl, batch=batch, n_rep=3, stats=True)
         rows.append({"metric": f"cpu_f64_{name}_ms_1kev",
@@ -302,6 +462,12 @@ def main():
         return
     if os.environ.get("BENCH_MESH"):
         suite_mesh()
+        return
+    if os.environ.get("BENCH_SAMPLERS"):
+        suite_samplers(small=bool(os.environ.get("BENCH_SMALL")))
+        return
+    if os.environ.get("BENCH_PRECOMPUTE"):
+        suite_precompute(small=bool(os.environ.get("BENCH_SMALL")))
         return
     # Default (driver-recorded) run: BOTH flagship rows — spectral sirens
     # (1000 events x 4096 samples) and dark sirens (1000 events x 15 pixels
