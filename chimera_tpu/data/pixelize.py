@@ -239,14 +239,22 @@ def chunk_rows_from_compact(compact: dict, chunk: int = 128) -> dict:
     sel = np.zeros((n_ev, c_max), dtype=np.int64)          # pool index
     row_pix = np.zeros((n_ev, c_max), dtype=np.int64)
     dead = np.ones((n_ev, c_max), dtype=bool)
-    for e in range(n_ev):
-        pos = 0
-        for p in range(n_pix):
-            k = int(chunks_pp[e, p])
-            sel[e, pos:pos + k] = p * pool_per_pix + np.arange(k)
-            row_pix[e, pos:pos + k] = p
-            dead[e, pos:pos + k] = False
-            pos += k
+    # Vectorized run-length expansion (one pass over all (event, pixel)
+    # runs — the last host loop in the pixelization pipeline): each (e, p)
+    # contributes a run of chunks_pp[e, p] consecutive rows starting at the
+    # exclusive per-event cumsum.
+    flat_k = chunks_pp.ravel()                             # (E*P,)
+    start = (np.cumsum(chunks_pp, axis=1) - chunks_pp).ravel()
+    ev_of = np.repeat(np.arange(n_ev), n_pix)
+    pix_of = np.tile(np.arange(n_pix), n_ev)
+    idx_in_run = np.arange(flat_k.sum()) \
+        - np.repeat(np.cumsum(flat_k) - flat_k, flat_k)
+    ev = np.repeat(ev_of, flat_k)
+    pix = np.repeat(pix_of, flat_k)
+    pos = np.repeat(start, flat_k) + idx_in_run
+    sel[ev, pos] = pix * pool_per_pix + idx_in_run
+    row_pix[ev, pos] = pix
+    dead[ev, pos] = False
 
     out = {"row_pix": jnp.asarray(row_pix)}
     e_idx = np.arange(n_ev)[:, None]

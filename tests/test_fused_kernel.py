@@ -84,10 +84,32 @@ def test_adjoint_bwd_odd_grid_width(fiducial_population, mock_catalog,
     np.testing.assert_allclose(float(gp), float(gx), rtol=1e-10)
 
 
-def test_adjoint_bwd_matches_xla_bwd(spectral_hl):
+@pytest.fixture(scope="module")
+def tiny_spectral_hl(fiducial_population, mock_catalog, mock_injections):
+    """8 events (one fused tile) x 256 samples x 64-pt grids.
+
+    The adjoint identity is shape-independent, and the interpret-mode
+    Pallas backward walks the kernel grid tile-by-tile in Python — so the
+    fast-loop gradient gate runs at the smallest shape that still covers
+    multi-sample tiles (full shapes stay in the slow-marked matrix)."""
+    import jax.tree_util as jtu
+
+    from chimera_tpu.models import compute_z_grids
+
+    cat = jtu.tree_map(lambda a: a[:8] if a.ndim >= 1 else a, mock_catalog)
+    z_grids = compute_z_grids(fiducial_population.cosmo, cat,
+                              cosmo_prior={"H0": [30.0, 150.0]},
+                              z_int_res=64)
+    theta_inj, n_inj = mock_injections
+    sel = SelectionFunction.create(theta_inj, n_inj)
+    return HyperLikelihood.create(cat, z_grids, fiducial_population, sel,
+                                  binning=False)
+
+
+def test_adjoint_bwd_matches_xla_bwd(tiny_spectral_hl):
     """The adjoint Pallas backward (grad_engine='pallas', the HMC fast
     path) produces the same hyper-lambda gradients as the XLA backward."""
-    hl = pytree.replace(spectral_hl, cut_grid=None, kde_engine="fused")
+    hl = pytree.replace(tiny_spectral_hl, cut_grid=None, kde_engine="fused")
 
     def loss(hl_, h0):
         # one lambda (multi-lambda adjoint accumulation is slow-marked);
@@ -181,8 +203,17 @@ def test_dark_grad_adjoint_vs_recompute(dark_hl):
     SAME fused forward, on the two-pass marginalized+cut_grid chain.  The
     independent stage-by-stage XLA reference (an expensive eager backward)
     is covered by the slow-marked matrix above."""
-    theta, z_grids, pop_pix, sel = dark_hl
-    hl = HyperLikelihood.create(theta, z_grids, pop_pix, sel,
+    from chimera_tpu.models import compute_z_grids
+
+    theta, _z_grids, pop_pix, sel = dark_hl
+    # 48-pt z-grids: the adjoint/recompute identity is grid-independent and
+    # the interpret-mode backward cost scales with the grid-tile count, so
+    # the fast-loop gate runs at the coarsest grid (the slow matrix keeps
+    # the fixture resolution)
+    z_small = compute_z_grids(pop_pix.cosmo, theta,
+                              cosmo_prior={"H0": [40.0, 120.0]},
+                              z_int_res=48)
+    hl = HyperLikelihood.create(theta, z_small, pop_pix, sel,
                                 kind="marginalized", binning=False,
                                 cut_grid=2.0, kde_engine="fused")
 
