@@ -90,7 +90,7 @@ def mock_z_grids(fiducial_population, mock_catalog):
 
 
 @pytest.fixture(scope="session")
-def dark_siren_setup(fiducial_population):
+def _dark_siren_raw(fiducial_population):
     """ONE shared dark-siren (pixelated galaxy catalog) setup.
 
     Session-scoped because three modules (fused-kernel parity, pixelated
@@ -98,9 +98,10 @@ def dark_siren_setup(fiducial_population):
     three mock catalogs, three pixelizations, three galaxy-catalog builds —
     which dominated their setup time on the 1-core test box.
 
-    Returns ``(theta, z_grids, pop_pix, sel, truths)``: 8 events (one fused
-    event-tile) x 256 PE samples, nside in {8, 16}, ~6 pixels/event,
-    100-pt z-grids, 12k background + clustered host galaxies.
+    Returns a dict with the full build chain, including the intermediate
+    ``galaxies``/``compl`` so tests that need a catalog rebuilt on
+    *different* z-grids (e.g. the fast-loop adjoint gate) can do so without
+    regenerating the mock sky.
     """
     from chimera_tpu import SelectionFunction, pytree
     from chimera_tpu.catalog import DVdzCompleteness
@@ -128,4 +129,21 @@ def dark_siren_setup(fiducial_population):
     theta_inj, n_inj = make_mock_injections(k_inj, pop, n_generated=40_000,
                                             snr_threshold=14.0)
     sel = SelectionFunction.create(theta_inj, n_inj)
-    return theta, z_grids, pop_pix, sel, truths
+    return dict(theta=theta, z_grids=z_grids, pop_pix=pop_pix, sel=sel,
+                truths=truths, galaxies=galaxies, compl=compl)
+
+
+@pytest.fixture(scope="session")
+def dark_siren_setup(_dark_siren_raw):
+    """(theta, z_grids, pop_pix, sel, truths): 8 events (one fused
+    event-tile) x 256 PE samples, nside in {8, 16}, ~6 pixels/event,
+    100-pt z-grids, 12k background + clustered host galaxies."""
+    r = _dark_siren_raw
+    return r["theta"], r["z_grids"], r["pop_pix"], r["sel"], r["truths"]
+
+
+@pytest.fixture(scope="session")
+def dark_siren_extras(_dark_siren_raw):
+    """(galaxies, compl) from the shared dark-siren build — for tests that
+    rebuild the pixelated catalog on alternative z-grids."""
+    return _dark_siren_raw["galaxies"], _dark_siren_raw["compl"]

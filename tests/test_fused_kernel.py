@@ -197,23 +197,29 @@ def test_fused_pixelated_grad_matches_vmap(dark_hl, kind, cut_grid):
         np.testing.assert_allclose(gf, gx, rtol=1e-6, err_msg=grad_engine)
 
 
-def test_dark_grad_adjoint_vs_recompute(dark_hl):
+def test_dark_grad_adjoint_vs_recompute(dark_hl, dark_siren_extras):
     """Fast-loop dark-siren gradient gate: the adjoint Pallas backward
     (grad_engine='pallas') equals the pure-XLA recompute backward of the
     SAME fused forward, on the two-pass marginalized+cut_grid chain.  The
     independent stage-by-stage XLA reference (an expensive eager backward)
     is covered by the slow-marked matrix above."""
+    from chimera_tpu.catalog.build import build_pixelated_catalog
     from chimera_tpu.models import compute_z_grids
 
     theta, _z_grids, pop_pix, sel = dark_hl
+    galaxies, compl = dark_siren_extras
     # 48-pt z-grids: the adjoint/recompute identity is grid-independent and
     # the interpret-mode backward cost scales with the grid-tile count, so
     # the fast-loop gate runs at the coarsest grid (the slow matrix keeps
-    # the fixture resolution)
+    # the fixture resolution).  The pixelated catalog's p_cat lives on the
+    # z-grids, so it must be rebuilt on the small grids too.
     z_small = compute_z_grids(pop_pix.cosmo, theta,
                               cosmo_prior={"H0": [40.0, 120.0]},
                               z_int_res=48)
-    hl = HyperLikelihood.create(theta, z_small, pop_pix, sel,
+    gal_small = build_pixelated_catalog(galaxies, theta, z_small,
+                                        pop_pix.cosmo, compl, z_err=0.01)
+    pop_small = pytree.replace(pop_pix, gal_cat=gal_small)
+    hl = HyperLikelihood.create(theta, z_small, pop_small, sel,
                                 kind="marginalized", binning=False,
                                 cut_grid=2.0, kde_engine="fused")
 
