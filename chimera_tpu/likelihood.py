@@ -49,6 +49,47 @@ from chimera_tpu.selection import SelectionFunction
 KINDS = ("1d", "approximate", "marginalized", "full")
 
 
+def _validate_shapes(theta_gw, z_grids, population, kind):
+    """Construction-time shape consistency guard.
+
+    The reference validates nothing at construction
+    (CHIMERA/likelihood.py:48-76) and mismatched inputs surface as
+    broadcast errors deep inside jit; here they fail at ``create`` with a
+    message naming the offending axis.
+    """
+    z_grids = jnp.asarray(z_grids)
+    if z_grids.ndim != 2:
+        raise ValueError(
+            f"z_grids must be (Nev, Nz); got shape {z_grids.shape}")
+    n_ev = theta_gw.dL.shape[0]
+    if z_grids.shape[0] != n_ev:
+        raise ValueError(
+            f"z_grids has {z_grids.shape[0]} events but theta_gw has "
+            f"{n_ev} (dL shape {theta_gw.dL.shape})")
+    gal_cat = getattr(population, "gal_cat", None)
+    p_cat = getattr(gal_cat, "p_cat", None)
+    if p_cat is None or kind == "1d":
+        return
+    if p_cat.ndim != 3:
+        raise ValueError(
+            f"gal_cat.p_cat must be (Nev, P, Nz); got shape {p_cat.shape}")
+    if p_cat.shape[0] != n_ev:
+        raise ValueError(
+            f"gal_cat.p_cat covers {p_cat.shape[0]} events but theta_gw "
+            f"has {n_ev}")
+    if p_cat.shape[2] != z_grids.shape[1]:
+        raise ValueError(
+            f"gal_cat.p_cat has z-resolution {p_cat.shape[2]} but z_grids "
+            f"has {z_grids.shape[1]} points — the pixelated catalog must be "
+            f"(re)built on the same z-grids (chimera_tpu.catalog.build."
+            f"build_pixelated_catalog)")
+    if theta_gw.pixel_mask is not None and \
+            p_cat.shape[1] != theta_gw.pixel_mask.shape[1]:
+        raise ValueError(
+            f"gal_cat.p_cat has {p_cat.shape[1]} pixel slots but "
+            f"theta_gw.pixel_mask has {theta_gw.pixel_mask.shape[1]}")
+
+
 @pytree.dataclass
 class HyperLikelihood:
     """Configuration + data of one hyper-likelihood model.
@@ -103,6 +144,7 @@ class HyperLikelihood:
             kind = "1d"
         if kind == "full" and kernel != "gauss":
             kernel = "gauss"  # only Gaussian kernels in 3-D (likelihood.py:93-94)
+        _validate_shapes(theta_gw, z_grids, population, kind)
         theta_gw = _sort_samples_by_distance(theta_gw)
         compact = None
         if kind == "marginalized" and not binning:

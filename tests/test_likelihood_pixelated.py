@@ -176,3 +176,37 @@ def test_build_engines_agree(dark_siren_setup, fiducial_population, sumgauss):
                                rtol=1e-10, atol=1e-12)
     np.testing.assert_array_equal(np.asarray(dev.n_gal),
                                   np.asarray(host.n_gal))
+
+
+def test_create_validates_shapes(dark_siren_setup):
+    """create() must reject mismatched inputs at construction with a
+    message naming the offending axis — not a broadcast error deep inside
+    jit (round-4 regression class: a catalog built on different z-grids)."""
+    theta, z_grids, pop, sel, _ = dark_siren_setup
+
+    # z-resolution mismatch: catalog p_cat on Nz grids vs shorter z_grids
+    z_short = z_grids[:, ::2]
+    with pytest.raises(ValueError, match="z-resolution"):
+        HyperLikelihood.create(theta, z_short, pop, sel, kind="marginalized",
+                               binning=False, kde_engine="xla")
+
+    # event-count mismatch between theta and z_grids
+    with pytest.raises(ValueError, match="events"):
+        HyperLikelihood.create(theta, z_grids[:-1], pop, sel,
+                               kind="marginalized", binning=False,
+                               kde_engine="xla")
+
+    # pixel-slot mismatch between p_cat and theta.pixel_mask
+    gal_bad = pytree.replace(pop.gal_cat,
+                             p_cat=pop.gal_cat.p_cat[:, :-1, :],
+                             pixel_mask=pop.gal_cat.pixel_mask[:, :-1])
+    pop_bad = pytree.replace(pop, gal_cat=gal_bad)
+    with pytest.raises(ValueError, match="pixel slots"):
+        HyperLikelihood.create(theta, z_grids, pop_bad, sel,
+                               kind="marginalized", binning=False,
+                               kde_engine="xla")
+
+    # non-2D z_grids
+    with pytest.raises(ValueError, match="Nev, Nz"):
+        HyperLikelihood.create(theta, z_grids[0], pop, sel,
+                               kind="marginalized")
