@@ -90,6 +90,59 @@ def _validate_shapes(theta_gw, z_grids, population, kind):
             f"theta_gw.pixel_mask has {theta_gw.pixel_mask.shape[1]}")
 
 
+def _safe_z_block(theta_gw, z_grids, population, bw_method) -> int | None:
+    """Static refresh-block length K for the 'full' variant's uniform-z KDE
+    recurrence (ops.kde.gaussian_kde_3d_lattice(uniform_z=True)).
+
+    The recurrence refreshes the z kernel with an exact exp every K grid
+    points and flushes subnormal refresh values to zero; a flushed block
+    loses at most ``tiny * exp((K*h)^2 / 2)`` per (pixel, sample) pair,
+    where h is the whitened z-grid step.  K is chosen so K*h <= 5.5 at the
+    fiducial hyper-parameters; with a 2x allowance for bandwidth shrinkage
+    across the hyper-prior (sigma_z scales ~H0 at low z), the worst-case
+    flush loss stays below 1e-12 of the kernel peak in f32.  The whitened
+    step uses the exact KDE whitening: L00 = sqrt((Sigma^-1)_00) / factor
+    (the Cholesky of the inverse covariance is lower-triangular, so its
+    (0,0) entry is closed-form), at unit weights — n_eff = S maximizes the
+    bandwidth factor's denominator, i.e. the conservative (largest-h)
+    direction.  Returns None (dense z sweep) when the safe K is too small
+    to amortize the two refresh exps.
+    """
+    import numpy as np
+
+    from chimera_tpu.models.population import theta_det_to_src
+    from chimera_tpu.ops.kde import bw_factor
+
+    # one jitted dispatch (not eager op soup — each eager op is a remote
+    # compile on the tunneled TPU backend); cosmo tables are small constants
+    z = np.asarray(
+        jax.jit(lambda td: theta_det_to_src(population.cosmo, td).z)(theta_gw),
+        dtype=np.float64)                                  # (E, S)
+    ra = np.asarray(theta_gw.ra, dtype=np.float64)
+    dec = np.asarray(theta_gw.dec, dtype=np.float64)
+    if not np.all(np.isfinite(z)):
+        return None
+    n_s = z.shape[1]
+    factor = float(bw_factor(jnp.asarray(float(n_s)), 3, bw_method))
+    data = np.stack([z, ra, dec], axis=1)                  # (E, 3, S)
+    data = data - data.mean(axis=-1, keepdims=True)
+    cov = np.einsum("eis,ejs->eij", data, data) / max(n_s - 1, 1)
+    try:
+        inv00 = np.linalg.inv(cov)[:, 0, 0]                # (E,)
+    except np.linalg.LinAlgError:
+        return None
+    if np.any(inv00 <= 0) or not np.all(np.isfinite(inv00)):
+        return None
+    l00 = np.sqrt(inv00) / factor                          # (E,)
+    zg = np.asarray(z_grids, dtype=np.float64)
+    step = (zg[:, -1] - zg[:, 0]) / max(zg.shape[1] - 1, 1)
+    h_max = float(np.max(l00 * step))
+    if not np.isfinite(h_max) or h_max <= 0:
+        return None
+    k = min(int(5.5 / h_max), 32)
+    return k if k >= 8 else None
+
+
 @pytree.dataclass
 class HyperLikelihood:
     """Configuration + data of one hyper-likelihood model.
@@ -99,6 +152,11 @@ class HyperLikelihood:
 
     theta_gw: ThetaPEDet = None
     z_grids: Array = None            # (Nev, Nz)
+    # 'full' kind: static refresh-block length of the uniform-z KDE
+    # recurrence, chosen at create() from the concrete data so a block never
+    # rises through the f32 underflow floor (see _safe_z_block).  None =
+    # dense z sweep.
+    z_block_full: int | None = pytree.static_field(default=None)
     population: Population = None
     selection: SelectionFunction | None = None
     event_mask: Array | None = None  # (Nev,) bool; False = padding event
@@ -156,11 +214,16 @@ class HyperLikelihood:
                 # flagship path: dense chunk rows for the rows-contract
                 # kernel (KDE work ~ real samples, not padded rectangle)
                 compact["rows"] = chunk_rows_from_compact(compact)
+        z_block_full = None
+        if kind == "full":
+            z_block_full = _safe_z_block(theta_gw, z_grids, population,
+                                         bw_method)
         n_events_input = theta_gw.dL.shape[0]
         n_samples_real = None
         if not binning:
             theta_gw, n_samples_real = _pad_sample_axis(theta_gw)
         hl = cls(theta_gw=theta_gw, z_grids=jnp.asarray(z_grids),
+                 z_block_full=z_block_full,
                  population=population, selection=selection, kind=kind,
                  kernel=kernel, bw_method=bw_method, cut_grid=cut_grid,
                  binning=binning, num_bins=num_bins, pe_neff=pe_neff,
@@ -501,8 +564,17 @@ def p_gw_3d_full(hl: HyperLikelihood, pop: Population) -> Array:
 
     def one_event(z, ra, dec, w, zg, ra_pix, dec_pix):
         dataset = jnp.stack([z, ra, dec])          # (3, S)
+        # uniform_z: z_grids are linspace by construction (compute_z_grids),
+        # so the z sweep runs as the block-refresh multiplicative recurrence
+        # (no per-(pixel, grid, sample) exp — the dense sweep's VPU bound).
+        # The block length was fixed at create() from the concrete data so
+        # no block rises through the f32 underflow floor (_safe_z_block);
+        # None means the grid is too coarse relative to the bandwidth for
+        # the recurrence to be both safe and profitable — dense sweep.
         return gaussian_kde_3d_lattice(dataset, ra_pix, dec_pix, zg,
-                                       weights=w, bw_method=hl.bw_method)
+                                       weights=w, bw_method=hl.bw_method,
+                                       uniform_z=hl.z_block_full is not None,
+                                       z_block=hl.z_block_full or 32)
 
     args = (
         th_src.z, tgw.ra, tgw.dec, weights, hl.z_grids,

@@ -312,6 +312,8 @@ def gaussian_kde_3d_lattice(
     weights: Array | None = None,
     bw_method=None,
     sample_chunk: int = 512,
+    uniform_z: bool = False,
+    z_block: int = 32,
 ) -> Array:
     """:func:`gaussian_kde_nd` (d=3) on the product lattice
     (z_grid x pixel centers), factored along the z axis.
@@ -338,6 +340,29 @@ def gaussian_kde_3d_lattice(
       weights: (S,) sample weights (normalized internally).
       sample_chunk: stream the sample axis in chunks of this size (the
         (P, G, S) pair tensor is never materialized).
+      uniform_z: the z grid is UNIFORMLY spaced (e.g. built by
+        ``compute_z_grids``'s linspace).  Replaces the per-(pixel, grid,
+        sample) exp — the VPU bottleneck of the dense z sweep — with a
+        multiplicative recurrence along z: on a uniform whitened grid
+        (step h) the Gaussian ratio factorizes as
+
+            k(u + h) / k(u) = exp(-h*u - h^2/2) = r0 * rho^j,
+            r0 = exp(-h*u0 - h^2/2),  rho = exp(-h^2)
+
+        so within a ``z_block``-point block the kernel values follow
+        v <- v*r, r <- r*rho (2 multiplies per pair) from one exact exp
+        refresh at the block start.  exps drop from P*G*S to 2*P*(G/K)*S.
+        Accuracy CONTRACT (the caller must hold it): K*h must stay small
+        enough that a block cannot rise from below the underflow floor to
+        a significant value.  Subnormal refresh values are flushed to
+        exact zero (they carry only a few significand bits and the
+        recurrence would amplify that quantization error); a flushed
+        block loses at most ``finfo.tiny * exp((K*h)^2 / 2)`` per pair —
+        < 1e-12 of the kernel peak for K*h <= 11 in f32 (the 'full'
+        likelihood derives a static K with 2x margin from the concrete
+        data at build time; see likelihood._safe_z_block).  Within-block
+        f32 drift is ~K ulp worst case.
+      z_block: refresh interval K of the uniform-z recurrence.
 
     Returns:
       (P, G) density values.
@@ -372,20 +397,64 @@ def gaussian_kde_3d_lattice(
     w_c = weights.reshape(n_chunks, sample_chunk)
 
     zl = l00 * z_grid                                  # (G,)
+    n_pix = ra_pix.shape[0]
+    n_grid = z_grid.shape[0]
 
-    def step(acc, xs):
+    if not uniform_z:
+        def step(acc, xs):
+            dw, w = xs                                 # (Sc, 3), (Sc,)
+            q1 = c1[:, None] - dw[None, :, 1]          # (P, Sc)
+            q2 = c2[:, None] - dw[None, :, 2]
+            e = w[None, :] * jnp.exp(-0.5 * (q1 * q1 + q2 * q2))
+            t = c0[:, None] - dw[None, :, 0]           # (P, Sc)
+            u = zl[None, :, None] + t[:, None, :]      # (P, G, Sc)
+            return acc + jnp.sum(e[:, None, :] * jnp.exp(-0.5 * u * u),
+                                 axis=-1), None
+
+        init = jnp.zeros((n_pix, n_grid), dataset.dtype)
+        acc, _ = jax.lax.scan(step, init, (data_c, w_c))
+        return jnp.exp(log_norm) * acc
+
+    # ---- uniform-z recurrence (see docstring) ----------------------------
+    k_blk = min(z_block, n_grid)
+    n_blk = -(-n_grid // k_blk)                        # J blocks of K points
+    hl = l00 * (z_grid[-1] - z_grid[0]) / max(n_grid - 1, 1)
+    # pad the grid axis by continuing the uniform spacing (sliced off at
+    # the end), so every block is exactly K points
+    zl0 = zl[0] + (jnp.arange(n_blk) * k_blk) * hl     # (J,) block starts
+    rho = jnp.exp(-hl * hl)                            # scalar ratio decay
+
+    def step_rec(acc, xs):
         dw, w = xs                                     # (Sc, 3), (Sc,)
         q1 = c1[:, None] - dw[None, :, 1]              # (P, Sc)
         q2 = c2[:, None] - dw[None, :, 2]
         e = w[None, :] * jnp.exp(-0.5 * (q1 * q1 + q2 * q2))
         t = c0[:, None] - dw[None, :, 0]               # (P, Sc)
-        u = zl[None, :, None] + t[:, None, :]          # (P, G, Sc)
-        return acc + jnp.sum(e[:, None, :] * jnp.exp(-0.5 * u * u),
-                             axis=-1), None
+        u0 = zl0[None, :, None] + t[:, None, :]        # (P, J, Sc)
+        v = e[:, None, :] * jnp.exp(-0.5 * u0 * u0)    # exact block refresh
+        r = jnp.exp(-hl * u0 - 0.5 * hl * hl)
+        # Flush subnormal refresh values to exact zero: a block start in the
+        # denormal range carries only a few significand bits, and the
+        # recurrence would amplify that quantization error back into the
+        # normal range.  Flushing also kills r = inf for dead pairs far left
+        # of the grid (0*inf would NaN the recurrence).  A flushed block
+        # loses at most tiny * exp((K*h)^2/2) per pair — the caller's K*h
+        # contract (docstring) keeps this below 1e-12 of the kernel peak.
+        alive = v >= jnp.finfo(v.dtype).tiny
+        v = jnp.where(alive, v, 0.0)
+        r = jnp.where(alive, r, 0.0)
+        outs = []
+        for k in range(k_blk):
+            outs.append(jnp.sum(v, axis=-1))           # (P, J)
+            if k + 1 < k_blk:
+                v = v * r
+                r = r * rho
+        block = jnp.stack(outs, axis=-1)               # (P, J, K)
+        return acc + block.reshape(n_pix, n_blk * k_blk), None
 
-    init = jnp.zeros((ra_pix.shape[0], z_grid.shape[0]), dataset.dtype)
-    acc, _ = jax.lax.scan(step, init, (data_c, w_c))
-    return jnp.exp(log_norm) * acc
+    init = jnp.zeros((n_pix, n_blk * k_blk), dataset.dtype)
+    acc, _ = jax.lax.scan(step_rec, init, (data_c, w_c))
+    return jnp.exp(log_norm) * acc[:, :n_grid]
 
 
 def gaussian_kde_nd_batch(

@@ -201,3 +201,118 @@ def test_gaussian_kde_3d_lattice_matches_dense():
     lat = gaussian_kde_3d_lattice(data, ra, dec, zg, weights=w,
                                   sample_chunk=256)
     np.testing.assert_allclose(np.asarray(lat), np.asarray(dense), rtol=1e-12)
+
+
+def test_gaussian_kde_3d_lattice_uniform_recurrence():
+    """The uniform-z block-refresh recurrence (round-5: the 'full' variant's
+    z sweep without per-pair exps) equals the dense z sweep and the nd KDE
+    on a uniform grid — including a K that does not divide G, a grid whose
+    span puts most pairs far in the tail (the sticky-underflow window), and
+    a single partial block."""
+    from chimera_tpu.ops.kde import gaussian_kde_3d_lattice
+
+    data = jax.random.normal(jax.random.PRNGKey(16), (3, 700))
+    data = data.at[0].mul(0.3)
+    w = jax.random.uniform(jax.random.PRNGKey(17), (700,)) + 0.05
+    ra = jax.random.normal(jax.random.PRNGKey(18), (13,))
+    dec = jax.random.normal(jax.random.PRNGKey(19), (13,))
+    for n_grid, z_lo, z_hi, blk in [(37, -1.0, 1.0, 32),
+                                    (500, -3.0, 3.0, 32),   # flagship G
+                                    (100, -8.0, 8.0, 16),   # deep tails
+                                    (20, -1.0, 1.0, 64)]:   # one partial blk
+        zg = jnp.linspace(z_lo, z_hi, n_grid)
+        lat = gaussian_kde_3d_lattice(data, ra, dec, zg, weights=w,
+                                      sample_chunk=256)
+        rec = gaussian_kde_3d_lattice(data, ra, dec, zg, weights=w,
+                                      sample_chunk=256, uniform_z=True,
+                                      z_block=blk)
+        # atol: block starts below the f64 normal floor are flushed to
+        # exact zero, so density values > ~150 orders of magnitude below
+        # the peak may legitimately differ — physically they are zero
+        atol = 1e-40 * float(np.max(np.asarray(lat)))
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(lat),
+                                   rtol=1e-10, atol=atol,
+                                   err_msg=f"G={n_grid} blk={blk}")
+
+
+def test_gaussian_kde_3d_lattice_recurrence_f32_rising_blocks():
+    """f32 regression (round 5): with a narrow bandwidth and a wide grid the
+    whitened step h is large; a block that starts below the f32 underflow
+    floor and peaks mid-block must not be zeroed.  With the K*h <= 5.5
+    contract honored (likelihood._safe_z_block picks K this way) the f32
+    recurrence matches the f64 dense sweep at f32 accuracy."""
+    from chimera_tpu.ops.kde import gaussian_kde_3d_lattice
+
+    rng = np.random.default_rng(21)
+    # sigma_z 0.01 samples, grid spanning ~0.4 -> whitened h ~ 0.6 at G=100
+    z = (0.30 + 0.01 * rng.standard_normal(900))
+    ra = 1.0 + 0.02 * rng.standard_normal(900)
+    dec = -0.5 + 0.02 * rng.standard_normal(900)
+    w = rng.uniform(0.05, 1.0, 900)
+    data64 = jnp.asarray(np.stack([z, ra, dec]), jnp.float64)
+    rp = jnp.asarray(1.0 + 0.02 * rng.standard_normal(9), jnp.float64)
+    dp = jnp.asarray(-0.5 + 0.02 * rng.standard_normal(9), jnp.float64)
+    zg = jnp.linspace(0.12, 0.52, 100, dtype=jnp.float64)
+    w64 = jnp.asarray(w, jnp.float64)
+    dense = gaussian_kde_3d_lattice(data64, rp, dp, zg, weights=w64,
+                                    sample_chunk=256)
+    # derive K the way the likelihood does: K*h <= 5.5
+    sig = np.cov(np.stack([z, ra, dec]), aweights=None)
+    factor = float(900 ** (-1.0 / 7.0))
+    h = float(np.sqrt(np.linalg.inv(sig)[0, 0]) / factor
+              * (0.52 - 0.12) / 99)
+    k = max(1, int(5.5 / h))
+    assert h > 0.3, f"fixture drifted: h={h} no longer exercises large-h"
+    rec32 = gaussian_kde_3d_lattice(
+        data64.astype(jnp.float32), rp.astype(jnp.float32),
+        dp.astype(jnp.float32), zg.astype(jnp.float32),
+        weights=w64.astype(jnp.float32), sample_chunk=256,
+        uniform_z=True, z_block=k)
+    d = np.asarray(dense)
+    np.testing.assert_allclose(np.asarray(rec32, np.float64), d,
+                               rtol=2e-4, atol=5e-6 * d.max())
+
+
+def test_safe_z_block_contract():
+    """_safe_z_block honors K*h <= 5.5 on concrete data and falls back to
+    None (dense sweep) when the grid is too coarse for the recurrence."""
+    from chimera_tpu.likelihood import _safe_z_block
+    from chimera_tpu.models.population import theta_det_to_src
+    from chimera_tpu.ops.kde import bw_factor
+
+    import jax
+    from chimera_tpu.catalog import EmptyCatalog
+    from chimera_tpu.data.mock import make_mock_catalog
+    from chimera_tpu.data.pixelize import pixelize_gw_catalog
+    from chimera_tpu.models import (FLRW, MadauDickinsonRate, Population,
+                                    PowerLawPeak, compute_z_grids)
+
+    cosmo = FLRW.create(H0=70.0, Om0=0.3)
+    pop = Population.create(cosmo, PowerLawPeak.create(),
+                            MadauDickinsonRate.create(),
+                            gal_cat=EmptyCatalog())
+    cat = make_mock_catalog(jax.random.PRNGKey(3), pop, n_events=6,
+                            n_samples=128, snr_threshold=14.0,
+                            sigma_sky_rad=0.03, oversample=300)
+    cat = pixelize_gw_catalog(cat, nside_list=[8], mean_npixels_event=4,
+                              sky_conf=0.9)
+
+    for z_res, expect_k in [(600, True), (8, False)]:
+        z_grids = compute_z_grids(cosmo, cat,
+                                  cosmo_prior={"H0": [40.0, 120.0]},
+                                  z_int_res=z_res)
+        k = _safe_z_block(cat.with_derived(), z_grids, pop, None)
+        if not expect_k:
+            assert k is None, f"z_res={z_res}: expected dense fallback"
+            continue
+        assert k is not None and 8 <= k <= 32
+        # verify the contract K*h <= 5.5 against an independent h
+        th = theta_det_to_src(pop.cosmo, cat.with_derived())
+        z = np.asarray(th.z, np.float64)
+        factor = float(bw_factor(jnp.asarray(float(z.shape[1])), 3, None))
+        for e in range(z.shape[0]):
+            sig = np.cov(np.stack([z[e], np.asarray(cat.ra[e]),
+                                   np.asarray(cat.dec[e])]))
+            h = (np.sqrt(np.linalg.inv(sig)[0, 0]) / factor
+                 * float(z_grids[e, -1] - z_grids[e, 0]) / (z_res - 1))
+            assert k * h <= 5.5 + 1e-9
