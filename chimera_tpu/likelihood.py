@@ -90,23 +90,42 @@ def _validate_shapes(theta_gw, z_grids, population, kind):
             f"theta_gw.pixel_mask has {theta_gw.pixel_mask.shape[1]}")
 
 
-def _safe_z_block(theta_gw, z_grids, population, bw_method) -> int | None:
-    """Static refresh-block length K for the 'full' variant's uniform-z KDE
-    recurrence (ops.kde.gaussian_kde_3d_lattice(uniform_z=True)).
+_Z_BUCKET_TIERS = (32, 16, 8)
+
+
+def _z_recurrence_plan(theta_gw, z_grids, population, bw_method
+                       ) -> tuple[int | None, tuple | None]:
+    """Static plan for the 'full' variant's uniform-z KDE recurrence
+    (ops.kde.gaussian_kde_3d_lattice(uniform_z=True)).
 
     The recurrence refreshes the z kernel with an exact exp every K grid
     points and flushes subnormal refresh values to zero; a flushed block
     loses at most ``tiny * exp((K*h)^2 / 2)`` per (pixel, sample) pair,
-    where h is the whitened z-grid step.  K is chosen so K*h <= 5.5 at the
-    fiducial hyper-parameters; with a 2x allowance for bandwidth shrinkage
-    across the hyper-prior (sigma_z scales ~H0 at low z), the worst-case
-    flush loss stays below 1e-12 of the kernel peak in f32.  The whitened
-    step uses the exact KDE whitening: L00 = sqrt((Sigma^-1)_00) / factor
-    (the Cholesky of the inverse covariance is lower-triangular, so its
-    (0,0) entry is closed-form), at unit weights — n_eff = S maximizes the
-    bandwidth factor's denominator, i.e. the conservative (largest-h)
-    direction.  Returns None (dense z sweep) when the safe K is too small
-    to amortize the two refresh exps.
+    where h is the event's whitened z-grid step.  Safe K per event:
+    K*h <= 5.5 at the fiducial hyper-parameters; with a 2x allowance for
+    bandwidth shrinkage across the hyper-prior (sigma_z scales ~H0 at low
+    z), the worst-case flush loss stays below 1e-12 of the kernel peak in
+    f32.  The whitened step uses the exact KDE whitening:
+    L00 = sqrt((Sigma^-1)_00) / factor (the Cholesky of the inverse
+    covariance is lower-triangular, so its (0,0) entry is closed-form),
+    at unit weights — n_eff = S maximizes the bandwidth factor's
+    denominator, i.e. the conservative (largest-h) direction.
+
+    Returns ``(z_block_full, z_full_buckets)``:
+
+    * ``z_block_full``: one batch-global safe K (min over events), or None
+      when any event forces the dense sweep.  Shard-safe — it carries no
+      event indices — so the sharded path uses it.
+    * ``z_full_buckets``: per-event tiering ``((K, (event idx...)), ...)``
+      with K in {32, 16, 8} plus a K=0 dense bucket, because one
+      narrow-bandwidth outlier event must not force the whole batch dense
+      (measured: 126/128 events safe at K>=8 while the batch min was 3).
+      Recurrence buckets are rounded down to multiples of 8 events (the
+      lax.map block) by demoting the smallest-safe-K members a tier.
+      Indices are GLOBAL event positions, so ``parallel.pad_events``
+      clears this field when re-padding for a mesh — the event axis is
+      sliced per shard and a static global index list cannot survive it.
+      None when tiering adds nothing over ``z_block_full``.
     """
     import numpy as np
 
@@ -121,7 +140,7 @@ def _safe_z_block(theta_gw, z_grids, population, bw_method) -> int | None:
     ra = np.asarray(theta_gw.ra, dtype=np.float64)
     dec = np.asarray(theta_gw.dec, dtype=np.float64)
     if not np.all(np.isfinite(z)):
-        return None
+        return None, None
     n_s = z.shape[1]
     factor = float(bw_factor(jnp.asarray(float(n_s)), 3, bw_method))
     data = np.stack([z, ra, dec], axis=1)                  # (E, 3, S)
@@ -130,17 +149,42 @@ def _safe_z_block(theta_gw, z_grids, population, bw_method) -> int | None:
     try:
         inv00 = np.linalg.inv(cov)[:, 0, 0]                # (E,)
     except np.linalg.LinAlgError:
-        return None
+        return None, None
     if np.any(inv00 <= 0) or not np.all(np.isfinite(inv00)):
-        return None
+        return None, None
     l00 = np.sqrt(inv00) / factor                          # (E,)
     zg = np.asarray(z_grids, dtype=np.float64)
     step = (zg[:, -1] - zg[:, 0]) / max(zg.shape[1] - 1, 1)
-    h_max = float(np.max(l00 * step))
-    if not np.isfinite(h_max) or h_max <= 0:
-        return None
-    k = min(int(5.5 / h_max), 32)
-    return k if k >= 8 else None
+    h = l00 * step                                         # (E,)
+    if not np.all(np.isfinite(h)) or np.any(h <= 0):
+        return None, None
+    safe = np.minimum((5.5 / h).astype(np.int64), 32)      # (E,)
+    k_glob = int(safe.min())
+    k_glob = k_glob if k_glob >= 8 else None
+
+    # per-event tiering
+    tier = np.zeros(safe.shape[0], dtype=np.int64)         # 0 = dense
+    for t in _Z_BUCKET_TIERS:
+        tier[(safe >= t) & (tier == 0)] = t
+    for t in _Z_BUCKET_TIERS:                              # %8 demotion
+        idx = np.where(tier == t)[0]
+        r = len(idx) % 8
+        if r:
+            lower = {32: 16, 16: 8, 8: 0}[t]
+            tier[idx[np.argsort(safe[idx])][:r]] = lower
+    buckets = tuple((int(t), tuple(map(int, np.where(tier == t)[0])))
+                    for t in (*_Z_BUCKET_TIERS, 0)
+                    if bool((tier == t).any()))
+    if len(buckets) == 1:
+        # Tiering degenerated to a single bucket — either the batch is
+        # genuinely uniform, or the %8 demotion collapsed a small batch all
+        # the way to dense.  Fall back to the (shard-safe) global form:
+        # k_glob is exact (any K in [8, 32], not tier-quantized) and covers
+        # both cases — e.g. 6 events with min safe K = 13 collapse to an
+        # all-dense bucket under %8 demotion while k_glob = 13 still runs
+        # the recurrence everywhere.
+        return k_glob, None
+    return k_glob, buckets
 
 
 @pytree.dataclass
@@ -152,11 +196,14 @@ class HyperLikelihood:
 
     theta_gw: ThetaPEDet = None
     z_grids: Array = None            # (Nev, Nz)
-    # 'full' kind: static refresh-block length of the uniform-z KDE
-    # recurrence, chosen at create() from the concrete data so a block never
-    # rises through the f32 underflow floor (see _safe_z_block).  None =
-    # dense z sweep.
+    # 'full' kind: static plan of the uniform-z KDE recurrence, chosen at
+    # create() from the concrete data so a block never rises through the
+    # f32 underflow floor (see _z_recurrence_plan).  z_block_full is the
+    # batch-global safe block length (None = dense z sweep); z_full_buckets
+    # is the per-event tiering used on the unsharded path (cleared by
+    # parallel.pad_events — its indices are global event positions).
     z_block_full: int | None = pytree.static_field(default=None)
+    z_full_buckets: tuple | None = pytree.static_field(default=None)
     population: Population = None
     selection: SelectionFunction | None = None
     event_mask: Array | None = None  # (Nev,) bool; False = padding event
@@ -214,16 +261,11 @@ class HyperLikelihood:
                 # flagship path: dense chunk rows for the rows-contract
                 # kernel (KDE work ~ real samples, not padded rectangle)
                 compact["rows"] = chunk_rows_from_compact(compact)
-        z_block_full = None
-        if kind == "full":
-            z_block_full = _safe_z_block(theta_gw, z_grids, population,
-                                         bw_method)
         n_events_input = theta_gw.dL.shape[0]
         n_samples_real = None
         if not binning:
             theta_gw, n_samples_real = _pad_sample_axis(theta_gw)
         hl = cls(theta_gw=theta_gw, z_grids=jnp.asarray(z_grids),
-                 z_block_full=z_block_full,
                  population=population, selection=selection, kind=kind,
                  kernel=kernel, bw_method=bw_method, cut_grid=cut_grid,
                  binning=binning, num_bins=num_bins, pe_neff=pe_neff,
@@ -238,6 +280,15 @@ class HyperLikelihood:
             from chimera_tpu.parallel.mesh import pad_events
 
             hl = pad_events(hl, 8)
+        if kind == "full":
+            # AFTER event padding (the plan covers every padded event row;
+            # padding rows replicate the last real event so they land in
+            # its tier) but on the REAL samples (_sliced_view) — the 'full'
+            # path evaluates the KDE on the unpadded sample axis
+            k_glob, buckets = _z_recurrence_plan(
+                _sliced_view(hl).theta_gw, hl.z_grids, population, bw_method)
+            hl = pytree.replace(hl, z_block_full=k_glob,
+                                z_full_buckets=buckets)
         return hl
 
     # convenience wrappers -----------------------------------------------
@@ -559,31 +610,28 @@ def p_gw_3d_full(hl: HyperLikelihood, pop: Population) -> Array:
     # (P, Nz, chunk) per step), and above the memory threshold events walk
     # in lax.map blocks so lambda-batching multiplies step memory by L only,
     # not by L*E (round-1 VERDICT weak spot 5).
-    dense_elems = nev * npix * nz * th_src.z.shape[1]
-    use_stream = dense_elems > 2 ** 26
 
-    def one_event(z, ra, dec, w, zg, ra_pix, dec_pix):
-        dataset = jnp.stack([z, ra, dec])          # (3, S)
+    def one_event_k(k_blk):
         # uniform_z: z_grids are linspace by construction (compute_z_grids),
         # so the z sweep runs as the block-refresh multiplicative recurrence
         # (no per-(pixel, grid, sample) exp — the dense sweep's VPU bound).
-        # The block length was fixed at create() from the concrete data so
-        # no block rises through the f32 underflow floor (_safe_z_block);
-        # None means the grid is too coarse relative to the bandwidth for
-        # the recurrence to be both safe and profitable — dense sweep.
-        return gaussian_kde_3d_lattice(dataset, ra_pix, dec_pix, zg,
-                                       weights=w, bw_method=hl.bw_method,
-                                       uniform_z=hl.z_block_full is not None,
-                                       z_block=hl.z_block_full or 32)
+        # Block lengths were fixed at create() from the concrete data so no
+        # block rises through the f32 underflow floor (_z_recurrence_plan);
+        # k_blk=0 means the grid is too coarse relative to that event's
+        # bandwidth for the recurrence to be both safe and profitable —
+        # dense sweep.
+        def one_event(z, ra, dec, w, zg, ra_pix, dec_pix):
+            dataset = jnp.stack([z, ra, dec])      # (3, S)
+            return gaussian_kde_3d_lattice(dataset, ra_pix, dec_pix, zg,
+                                           weights=w, bw_method=hl.bw_method,
+                                           uniform_z=k_blk > 0,
+                                           z_block=k_blk or 32)
+        return one_event
 
-    args = (
-        th_src.z, tgw.ra, tgw.dec, weights, hl.z_grids,
-        # fake pixel centers would poison the whitened distances only through
-        # masked-out outputs; clamp the padded values to 0 for finite math
-        jnp.where(tgw.pixel_mask, tgw.ra_pix, 0.0),
-        jnp.where(tgw.pixel_mask, tgw.dec_pix, 0.0),
-    )
-    if use_stream:
+    def run_events(sub_args, k_blk):
+        n_sub = sub_args[0].shape[0]
+        if not (n_sub * npix * nz * th_src.z.shape[1] > 2 ** 26):
+            return jax.vmap(one_event_k(k_blk))(*sub_args)
         # Event-blocked scan steps: a single-event step is a thin
         # (P*Nz, chunk) VPU op that underfills the 8-sublane register tile;
         # an 8-event block fills the sublanes and cuts the sequential step
@@ -594,10 +642,31 @@ def p_gw_3d_full(hl: HyperLikelihood, pop: Population) -> Array:
         # L-batched (P*Nz x chunk) blocks would crowd HBM.
         per_event_step = npix * nz * 512  # gaussian_kde_3d_lattice chunk
         bs = next(b for b in (8, 4, 2, 1)
-                  if nev % b == 0 and (b == 1 or b * per_event_step <= 2 ** 26))
-        p = jax.lax.map(lambda a: one_event(*a), args, batch_size=bs)
+                  if n_sub % b == 0 and
+                  (b == 1 or b * per_event_step <= 2 ** 26))
+        fn = one_event_k(k_blk)
+        return jax.lax.map(lambda a: fn(*a), sub_args, batch_size=bs)
+
+    args = (
+        th_src.z, tgw.ra, tgw.dec, weights, hl.z_grids,
+        # fake pixel centers would poison the whitened distances only through
+        # masked-out outputs; clamp the padded values to 0 for finite math
+        jnp.where(tgw.pixel_mask, tgw.ra_pix, 0.0),
+        jnp.where(tgw.pixel_mask, tgw.dec_pix, 0.0),
+    )
+    if hl.z_full_buckets is not None:
+        # per-event recurrence tiers (one outlier event must not force the
+        # whole batch dense); static GLOBAL indices — valid only unsharded
+        # (parallel.pad_events clears the field when re-padding for a mesh)
+        import numpy as np
+        parts = [run_events(tuple(x[jnp.asarray(idx)] for x in args), k)
+                 for k, idx in hl.z_full_buckets]
+        order = np.concatenate(
+            [np.asarray(idx) for _, idx in hl.z_full_buckets])
+        inv = jnp.asarray(np.argsort(order))
+        p = jnp.concatenate(parts, axis=0)[inv]
     else:
-        p = jax.vmap(one_event)(*args)
+        p = run_events(args, hl.z_block_full or 0)
     p = p * norms[:, None, None]
     p = p * z_mask[:, None, :] * tgw.pixel_mask[:, :, None]
     return jnp.where(gate[:, None, None], jnp.nan_to_num(p), 0.0)
@@ -628,6 +697,10 @@ def numerator_per_event(hl: HyperLikelihood, pop: Population) -> Array:
         p_gw = p_gw_1d(hl, pop)
         return trapz(p_gw * p_z / jac, hl.z_grids, axis=-1)
     p_gw3d = _P_GW_3D[hl.kind](hl, pop)
+    if p_z.ndim == 2:
+        # empty catalog: p_cbc is pixel-independent (Nev, Nz) — lift it
+        # over the pixel axis of the 3-D p_gw
+        p_z = p_z[:, None, :]
     integrand = p_gw3d * p_z / jac[:, None, :]
     like_pix = trapz(integrand, hl.z_grids[:, None, :], axis=-1)  # (Nev, P)
     return jnp.sum(like_pix, axis=-1)

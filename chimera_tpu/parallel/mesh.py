@@ -133,7 +133,7 @@ def pad_events(hl: HyperLikelihood, multiple: int) -> HyperLikelihood:
     nev = hl.n_events
     n_target = _round_up(nev, multiple)
     if n_target == nev and hl.event_mask is not None:
-        return hl
+        return pytree.replace(hl, z_full_buckets=None)
     if hl.event_mask is not None:
         # already-padded input (e.g. create()'s %8 padding): extend the
         # existing mask instead of marking old padding rows as real
@@ -177,7 +177,13 @@ def pad_events(hl: HyperLikelihood, multiple: int) -> HyperLikelihood:
     # reuse real z-grids for padding rows (monotone grids keep trapz sane)
     return pytree.replace(hl, theta_gw=theta, z_grids=z_grids,
                           event_mask=mask, compact=compact,
-                          population=population)
+                          population=population,
+                          # per-event recurrence tiers carry GLOBAL event
+                          # indices, which neither the new padding rows nor
+                          # a per-shard slice of the event axis preserve;
+                          # the sharded 'full' path falls back to the
+                          # batch-global z_block_full (shard-safe)
+                          z_full_buckets=None)
 
 
 def pad_injections(sel: SelectionFunction, multiple: int) -> SelectionFunction:

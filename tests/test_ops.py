@@ -273,10 +273,11 @@ def test_gaussian_kde_3d_lattice_recurrence_f32_rising_blocks():
                                rtol=2e-4, atol=5e-6 * d.max())
 
 
-def test_safe_z_block_contract():
-    """_safe_z_block honors K*h <= 5.5 on concrete data and falls back to
-    None (dense sweep) when the grid is too coarse for the recurrence."""
-    from chimera_tpu.likelihood import _safe_z_block
+def test_z_recurrence_plan_contract():
+    """_z_recurrence_plan honors K*h <= 5.5 per event on concrete data,
+    buckets partition the event axis with %8 recurrence tiers, and the plan
+    falls back to dense when the grid is too coarse for the recurrence."""
+    from chimera_tpu.likelihood import _z_recurrence_plan
     from chimera_tpu.models.population import theta_det_to_src
     from chimera_tpu.ops.kde import bw_factor
 
@@ -297,22 +298,83 @@ def test_safe_z_block_contract():
     cat = pixelize_gw_catalog(cat, nside_list=[8], mean_npixels_event=4,
                               sky_conf=0.9)
 
+    def per_event_h(z_grids, z_res):
+        th = theta_det_to_src(pop.cosmo, cat.with_derived())
+        z = np.asarray(th.z, np.float64)
+        factor = float(bw_factor(jnp.asarray(float(z.shape[1])), 3, None))
+        hs = []
+        for e in range(z.shape[0]):
+            sig = np.cov(np.stack([z[e], np.asarray(cat.ra[e]),
+                                   np.asarray(cat.dec[e])]))
+            hs.append(np.sqrt(np.linalg.inv(sig)[0, 0]) / factor
+                      * float(z_grids[e, -1] - z_grids[e, 0]) / (z_res - 1))
+        return np.asarray(hs)
+
     for z_res, expect_k in [(600, True), (8, False)]:
         z_grids = compute_z_grids(cosmo, cat,
                                   cosmo_prior={"H0": [40.0, 120.0]},
                                   z_int_res=z_res)
-        k = _safe_z_block(cat.with_derived(), z_grids, pop, None)
+        k_glob, buckets = _z_recurrence_plan(cat.with_derived(), z_grids,
+                                             pop, None)
+        h = per_event_h(z_grids, z_res)
         if not expect_k:
-            assert k is None, f"z_res={z_res}: expected dense fallback"
+            assert k_glob is None, f"z_res={z_res}: expected dense fallback"
             continue
-        assert k is not None and 8 <= k <= 32
-        # verify the contract K*h <= 5.5 against an independent h
-        th = theta_det_to_src(pop.cosmo, cat.with_derived())
-        z = np.asarray(th.z, np.float64)
-        factor = float(bw_factor(jnp.asarray(float(z.shape[1])), 3, None))
-        for e in range(z.shape[0]):
-            sig = np.cov(np.stack([z[e], np.asarray(cat.ra[e]),
-                                   np.asarray(cat.dec[e])]))
-            h = (np.sqrt(np.linalg.inv(sig)[0, 0]) / factor
-                 * float(z_grids[e, -1] - z_grids[e, 0]) / (z_res - 1))
-            assert k * h <= 5.5 + 1e-9
+        assert k_glob is not None and 8 <= k_glob <= 32
+        # global contract against every event's independently computed h
+        assert (k_glob * h <= 5.5 + 1e-9).all()
+        if buckets is not None:
+            seen = sorted(i for _, idx in buckets for i in idx)
+            assert seen == list(range(h.size)), "buckets must partition"
+            for k, idx in buckets:
+                if k > 0:
+                    assert len(idx) % 8 == 0
+                    assert (k * h[list(idx)] <= 5.5 + 1e-9).all()
+
+
+def test_full_kind_buckets_match_dense():
+    """End-to-end: the bucketed per-event recurrence plan gives the same
+    'full'-kind likelihood as the forced-dense sweep, including an outlier
+    event whose safe K differs from its neighbors'."""
+    import jax
+    from chimera_tpu import HyperLikelihood, SelectionFunction, pytree
+    from chimera_tpu.catalog import EmptyCatalog
+    from chimera_tpu.data.mock import make_mock_catalog, make_mock_injections
+    from chimera_tpu.data.pixelize import pixelize_gw_catalog
+    from chimera_tpu.models import (FLRW, MadauDickinsonRate, Population,
+                                    PowerLawPeak, compute_z_grids)
+
+    cosmo = FLRW.create(H0=70.0, Om0=0.3)
+    pop = Population.create(cosmo, PowerLawPeak.create(),
+                            MadauDickinsonRate.create(),
+                            gal_cat=EmptyCatalog())
+    cat = make_mock_catalog(jax.random.PRNGKey(9), pop, n_events=16,
+                            n_samples=256, snr_threshold=12.0,
+                            sigma_sky_rad=0.03, oversample=300)
+    # manufacture one narrow-bandwidth outlier: shrink event 3's dL spread
+    # 20x around its mean (tiny sigma_z -> large whitened grid step)
+    dl = cat.dL
+    dl = dl.at[3].set(jnp.mean(dl[3]) + 0.05 * (dl[3] - jnp.mean(dl[3])))
+    cat = cat.update(dL=dl)
+    cat = pixelize_gw_catalog(cat, nside_list=[8], mean_npixels_event=4,
+                              sky_conf=0.9)
+    # 512-pt grids: fine enough that most events clear the K>=8 recurrence
+    # bar while the manufactured outlier stays dense (mixed-tier plan)
+    z_grids = compute_z_grids(cosmo, cat, cosmo_prior={"H0": [40.0, 120.0]},
+                              z_int_res=512)
+    inj, n_gen = make_mock_injections(jax.random.PRNGKey(10), pop,
+                                      n_generated=30_000, snr_threshold=12.0)
+    sel = SelectionFunction.create(inj, n_gen)
+    hl = HyperLikelihood.create(cat, z_grids, pop, sel, kind="full",
+                                binning=False)
+    assert hl.z_full_buckets is not None, \
+        "fixture should produce a mixed-tier plan"
+    assert any(k == 0 for k, _ in hl.z_full_buckets) or \
+        len({k for k, _ in hl.z_full_buckets}) > 1
+    h0s = jnp.linspace(55.0, 95.0, 4)
+    got = np.asarray(hl.log_like_batch({"H0": h0s}))
+    dense = np.asarray(pytree.replace(hl, z_block_full=None,
+                                      z_full_buckets=None)
+                       .log_like_batch({"H0": h0s}))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, dense, rtol=5e-9)
