@@ -116,7 +116,18 @@ def _time_batch(hl, batch=16, n_rep=5, spread=False, stats=False):
     # hardware-numerics guard: round 2 found a TPU-only bf16-matmul
     # corruption that made dark-siren likelihoods inf on-chip while every
     # CPU test passed — a bench that times garbage must fail loudly.
-    assert bool(jnp.isfinite(out).all()), "non-finite log-likelihoods"
+    # -inf alone is NOT garbage: a hyper-lambda at the prior extreme can
+    # legitimately zero an event's numerator through the N_eff gate
+    # (reference semantics: nan_to_num(log, nan=-inf),
+    # /root/reference/CHIMERA/likelihood.py:296-297) — observed for the
+    # binned dark-siren config at 1000 events, H0=55.
+    assert not bool(jnp.isnan(out).any()), "NaN log-likelihoods"
+    assert not bool(jnp.isposinf(out).any()), "+inf log-likelihoods"
+    n_neginf = int(jnp.isneginf(out).sum())
+    if n_neginf:
+        print(f"# note: {n_neginf}/{out.size} lambdas at -inf "
+              "(N_eff-gated zero numerator at the prior extreme)",
+              flush=True)
     reps = []
     for _ in range(n_rep):
         t0 = time.perf_counter()
