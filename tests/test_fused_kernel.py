@@ -84,9 +84,27 @@ def test_adjoint_bwd_odd_grid_width(fiducial_population, mock_catalog,
     np.testing.assert_allclose(float(gp), float(gx), rtol=1e-10)
 
 
+def _light_population(pop):
+    """The same population with low-degree Chebyshev engines.
+
+    The interpret-mode Pallas adjoint re-executes the in-kernel model math
+    (unrolled Clenshaw chains) eagerly per grid step, so its wall time on
+    the 1-core fast-loop box scales with engine degree.  The adjoint gates
+    compare two backwards of the SAME model, so the identity is
+    degree-independent — gate it on deg-16 engines (full-degree shapes
+    stay in the slow-marked matrix)."""
+    from chimera_tpu.models import FLRW, PowerLawPeak
+
+    return pytree.replace(
+        pop,
+        cosmo=FLRW.create(H0=70.0, Om0=0.25, cheb_deg=16),
+        mass=PowerLawPeak.create(window_deg=16))
+
+
 @pytest.fixture(scope="module")
 def tiny_spectral_hl(fiducial_population, mock_catalog, mock_injections):
-    """8 events (one fused tile) x 256 samples x 64-pt grids.
+    """8 events (one fused tile) x 256 samples x 64-pt grids, deg-16
+    engines.
 
     The adjoint identity is shape-independent, and the interpret-mode
     Pallas backward walks the kernel grid tile-by-tile in Python — so the
@@ -96,13 +114,14 @@ def tiny_spectral_hl(fiducial_population, mock_catalog, mock_injections):
 
     from chimera_tpu.models import compute_z_grids
 
+    pop = _light_population(fiducial_population)
     cat = jtu.tree_map(lambda a: a[:8] if a.ndim >= 1 else a, mock_catalog)
-    z_grids = compute_z_grids(fiducial_population.cosmo, cat,
+    z_grids = compute_z_grids(pop.cosmo, cat,
                               cosmo_prior={"H0": [30.0, 150.0]},
                               z_int_res=64)
     theta_inj, n_inj = mock_injections
     sel = SelectionFunction.create(theta_inj, n_inj)
-    return HyperLikelihood.create(cat, z_grids, fiducial_population, sel,
+    return HyperLikelihood.create(cat, z_grids, pop, sel,
                                   binning=False)
 
 
@@ -212,13 +231,15 @@ def test_dark_grad_adjoint_vs_recompute(dark_hl, dark_siren_extras):
     # the interpret-mode backward cost scales with the grid-tile count, so
     # the fast-loop gate runs at the coarsest grid (the slow matrix keeps
     # the fixture resolution).  The pixelated catalog's p_cat lives on the
-    # z-grids, so it must be rebuilt on the small grids too.
-    z_small = compute_z_grids(pop_pix.cosmo, theta,
+    # z-grids, so it must be rebuilt on the small grids too.  Low-degree
+    # engines for the same reason (see _light_population).
+    pop_light = _light_population(pop_pix)
+    z_small = compute_z_grids(pop_light.cosmo, theta,
                               cosmo_prior={"H0": [40.0, 120.0]},
                               z_int_res=48)
     gal_small = build_pixelated_catalog(galaxies, theta, z_small,
-                                        pop_pix.cosmo, compl, z_err=0.01)
-    pop_small = pytree.replace(pop_pix, gal_cat=gal_small)
+                                        pop_light.cosmo, compl, z_err=0.01)
+    pop_small = pytree.replace(pop_light, gal_cat=gal_small)
     hl = HyperLikelihood.create(theta, z_small, pop_small, sel,
                                 kind="marginalized", binning=False,
                                 cut_grid=2.0, kde_engine="fused")

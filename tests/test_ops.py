@@ -371,7 +371,10 @@ def test_full_kind_buckets_match_dense():
         "fixture should produce a mixed-tier plan"
     assert any(k == 0 for k, _ in hl.z_full_buckets) or \
         len({k for k, _ in hl.z_full_buckets}) > 1
-    h0s = jnp.linspace(55.0, 95.0, 4)
+    # two lambdas (prior edges) — enough to gate the bucketed==dense
+    # identity, and each extra lambda costs a full dense 'full'-KDE sweep
+    # on the 1-core fast-loop box
+    h0s = jnp.linspace(55.0, 95.0, 2)
     got = np.asarray(hl.log_like_batch({"H0": h0s}))
     dense = np.asarray(pytree.replace(hl, z_block_full=None,
                                       z_full_buckets=None)
